@@ -1,0 +1,106 @@
+"""ConvNeXt backbone (NHWC, flax.linen).
+
+The reference uses timm's convnext_base with features_only/out_indices=(3,)
+(network/backbone.py:36-46): stride-32, 1024-channel final feature map.
+This is a from-scratch NHWC implementation of the published ConvNeXt
+architecture (Liu et al., CVPR 2022): 4x4/4 patchify stem, stages of
+[depthwise 7x7 -> LN -> 1x1 (4x) -> GELU -> 1x1] blocks with layer scale
+and stochastic depth, LN+2x2/2 downsample between stages.
+
+TPU notes: NHWC keeps channels on the 128-lane axis; the 1x1 expansions are
+plain matmuls on the MXU; depthwise 7x7 runs on the VPU.  ``dtype``
+selects bf16 compute with f32 params.  A timm-checkpoint converter lives in
+``givepose_tpu.models.convert_weights`` for loading ImageNet weights.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+Dtype = Any
+
+
+class ConvNeXtBlock(nn.Module):
+    dim: int
+    layer_scale_init: float = 1e-6
+    drop_path_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        residual = x
+        # depthwise 7x7
+        y = nn.Conv(self.dim, (7, 7), padding=[(3, 3), (3, 3)],
+                    feature_group_count=self.dim, dtype=self.dtype,
+                    param_dtype=jnp.float32)(x)
+        y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32)(
+            y.astype(jnp.float32)).astype(self.dtype)
+        y = nn.Dense(4 * self.dim, dtype=self.dtype,
+                     param_dtype=jnp.float32)(y)
+        y = nn.gelu(y)
+        y = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32)(y)
+        gamma = self.param("gamma",
+                           nn.initializers.constant(self.layer_scale_init),
+                           (self.dim,), jnp.float32)
+        y = y * gamma.astype(self.dtype)
+        if self.drop_path_rate > 0.0 and not deterministic:
+            rng = self.make_rng("dropout")
+            keep = 1.0 - self.drop_path_rate
+            mask = jax.random.bernoulli(rng, keep, (x.shape[0], 1, 1, 1))
+            y = y * mask.astype(self.dtype) / keep
+        return residual + y
+
+
+class ConvNeXt(nn.Module):
+    """Features-only ConvNeXt returning the stride-32 stage-3 map."""
+
+    depths: Sequence[int] = (3, 3, 27, 3)
+    dims: Sequence[int] = (128, 256, 512, 1024)
+    drop_path_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        # stem: patchify 4x4 stride 4 + LN
+        y = nn.Conv(self.dims[0], (4, 4), strides=(4, 4), padding="VALID",
+                    dtype=self.dtype, param_dtype=jnp.float32,
+                    name="stem_conv")(x.astype(self.dtype))
+        y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="stem_norm")(
+            y.astype(jnp.float32)).astype(self.dtype)
+
+        total_blocks = sum(self.depths)
+        block_idx = 0
+        for stage, (depth, dim) in enumerate(zip(self.depths, self.dims)):
+            if stage > 0:
+                y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
+                                 name=f"downsample_norm{stage}")(
+                    y.astype(jnp.float32)).astype(self.dtype)
+                y = nn.Conv(dim, (2, 2), strides=(2, 2), padding="VALID",
+                            dtype=self.dtype, param_dtype=jnp.float32,
+                            name=f"downsample_conv{stage}")(y)
+            for blk in range(depth):
+                dp = (self.drop_path_rate * block_idx
+                      / max(total_blocks - 1, 1))
+                y = ConvNeXtBlock(dim, drop_path_rate=dp, dtype=self.dtype,
+                                  name=f"stage{stage}_block{blk}")(
+                    y, deterministic=deterministic)
+                block_idx += 1
+        return y
+
+
+def convnext_base(dtype: Dtype = jnp.float32,
+                  drop_path_rate: float = 0.0) -> ConvNeXt:
+    """convnext_base config matching reference backbone.py:36-46."""
+    return ConvNeXt(depths=(3, 3, 27, 3), dims=(128, 256, 512, 1024),
+                    drop_path_rate=drop_path_rate, dtype=dtype)
+
+
+def convnext_tiny(dtype: Dtype = jnp.float32,
+                  drop_path_rate: float = 0.0) -> ConvNeXt:
+    """Smaller variant for tests/ablation."""
+    return ConvNeXt(depths=(3, 3, 9, 3), dims=(96, 192, 384, 768),
+                    drop_path_rate=drop_path_rate, dtype=dtype)
