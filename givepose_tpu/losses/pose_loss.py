@@ -1,0 +1,154 @@
+"""Pose losses, fully on-device (no per-sample host loops).
+
+Replaces losses/pose_loss.py.  The reference's symmetry resolution is a
+per-sample CPU numpy loop over a 360-rotation bank
+(get_closest_rot_batch, pose_loss.py:401-428) — a forced GPU->CPU sync in
+every training step.  Here the closest symmetric rotation is a batched
+einsum argmin (geometry.closest_sym_rot) and everything else is elementwise,
+so the whole loss fuses into the jitted train step.
+
+Loss terms (reference pose_loss.py:30-96):
+  Rot1            L1 on R (sym-resolved gt), or angle loss
+  Tran / Size     L1 normalized by nocs_scale
+  Point_matching  L1 between R@model and R_gt@model
+  nocs_coor /
+  sp2d_coor       dense Huber-like coordinate loss (quadratic < 0.03,
+                  linear above), mask-normalized, on sym-rotated gt maps
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+
+from givepose_tpu.core.config import LossConfig
+from givepose_tpu.geometry import (
+    closest_sym_rot,
+    symmetry_rotation_bank_y,
+)
+
+_COOR_THRESHOLD = 0.03  # reference pose_loss.py:26
+
+
+def _l1(a, b):
+    return jnp.abs(a - b)
+
+
+def _smooth_l1(a, b, beta=0.5):
+    d = jnp.abs(a - b)
+    return jnp.where(d < beta, 0.5 * d * d / beta, d - 0.5 * beta)
+
+
+def _coor_loss(pred, gt, mask):
+    """Huber-like dense coordinate loss (reference pose_loss.py:188-196).
+
+    pred/gt are NHWC (B,H,W,3); mask (B,H,W,1).
+    """
+    pred = pred * mask
+    gt = gt * mask
+    diff = jnp.abs(pred - gt)
+    lower = diff * diff / (2.0 * _COOR_THRESHOLD)
+    higher = diff - _COOR_THRESHOLD / 2.0
+    per_px = jnp.where(diff > _COOR_THRESHOLD, higher, lower) * mask
+    num = jnp.sum(per_px, axis=(1, 2, 3))
+    den = jnp.sum(mask, axis=(1, 2, 3)) + 1e-5
+    return jnp.mean(num / den)
+
+
+def _rotate_maps(maps: jnp.ndarray, rot: jnp.ndarray) -> jnp.ndarray:
+    """Apply per-sample 3x3 rotation to an NHWC coordinate map."""
+    return jnp.einsum("bij,bhwj->bhwi", rot, maps, precision="highest")
+
+
+class PoseLossFn:
+    """Callable computing the loss dict.  Stateless; bank precomputed."""
+
+    def __init__(self, cfg: LossConfig, r_type: str = "allo_rot6d"):
+        self.cfg = cfg
+        self.r_type = r_type
+        # closest-rot search uses the 360-entry bank
+        # (reference pose_loss.py:23,58); the rot_sym_num bank is built but
+        # unused on the coor_gt_sym='rot' path
+        self.bank = jnp.asarray(symmetry_rotation_bank_y(360), jnp.float32)
+        self.base = _l1 if cfg.pose_loss_type == "l1" else _smooth_l1
+
+    def __call__(self, pred: dict, data: dict) -> dict[str, jnp.ndarray]:
+        cfg = self.cfg
+        gt_rot_origin = data["rotation"]                 # (B,3,3)
+        gt_trans = data["translation"]
+        gt_size = data["real_size"]
+        nocs_scale = data["nocs_scale"][:, None]
+        sym_flag = (data["sym_info"][:, 0] == 1).astype(jnp.float32)
+
+        gt_size_n = gt_size / nocs_scale
+        gt_trans_n = gt_trans / nocs_scale
+
+        # symmetry: per-sample closest gt rotation, batched on device
+        gt_rot = closest_sym_rot(pred["rot"], gt_rot_origin, sym_flag,
+                                 self.bank)
+        # residual sym rotation applied to the gt coordinate maps
+        # (reference pose_loss.py:63-69): rot_sym = gt_rot^T @ gt_rot_origin
+        rot_sym = jnp.einsum("bij,bik->bjk", gt_rot, gt_rot_origin,
+                             precision="highest")
+        gt_nocs = _rotate_maps(data["nocs_coord"], rot_sym)
+        gt_ivfc = _rotate_maps(data["ivfc_coord"], rot_sym)
+
+        losses = {}
+        if cfg.r_loss == "l1":
+            losses["Rot1"] = cfg.rot_1_w * jnp.mean(
+                self.base(pred["rot"], gt_rot))
+        elif cfg.r_loss == "angle":
+            diff = jnp.einsum("bij,bkj->bik", gt_rot, pred["rot"],
+                              precision="highest")
+            trace = jnp.trace(diff, axis1=-2, axis2=-1)
+            ang = jnp.arccos(jnp.clip((trace - 1) / 2, -0.99999, 0.99999))
+            losses["Rot1"] = cfg.rot_1_w * jnp.mean(
+                _smooth_l1(ang, jnp.zeros_like(ang), beta=0.2))
+        else:
+            raise NotImplementedError(cfg.r_loss)
+
+        losses["Tran"] = cfg.tran_w * jnp.mean(
+            self.base(pred["trans"], gt_trans_n))
+        losses["Size"] = cfg.size_w * jnp.mean(
+            self.base(pred["size"], gt_size_n))
+
+        # point matching (reference pose_loss.py:160-171): rotate the model
+        # cloud by pred vs (sym-resolved) gt rotation
+        pts = data["model_point"]                         # (B,P,3)
+        pred_pts = jnp.einsum("bij,bpj->bpi", pred["rot"], pts)
+        gt_pts = jnp.einsum("bij,bpj->bpi", gt_rot, pts)
+        losses["Point_matching"] = cfg.prop_pm_w * jnp.mean(
+            self.base(pred_pts, gt_pts))
+
+        losses["nocs_coor"] = cfg.coor_w * _coor_loss(
+            pred["nocs_coor"], gt_nocs, data["roi_mask_output"])
+        losses["sp2d_coor"] = cfg.coor_w * _coor_loss(
+            pred["ivfc_coor"], gt_ivfc, data["roi_ivfc_mask_output"])
+        return losses
+
+
+def pnp_loss(cfg: LossConfig, pred: dict, data: dict,
+             bank: jnp.ndarray) -> dict:
+    """Reduced loss for PnP-only training (reference Pnp_Loss,
+    pose_loss.py:198-250): Rot1 + Tran + Point_matching."""
+    base = _l1 if cfg.pose_loss_type == "l1" else _smooth_l1
+    sym_flag = (data["sym_info"][:, 0] == 1).astype(jnp.float32)
+    gt_rot = closest_sym_rot(pred["rot"], data["rotation"], sym_flag, bank)
+    nocs_scale = data["nocs_scale"][:, None]
+    gt_trans_n = data["translation"] / nocs_scale
+    pts = data["model_point"]
+    pred_pts = jnp.einsum("bij,bpj->bpi", pred["rot"], pts)
+    gt_pts = jnp.einsum("bij,bpj->bpi", gt_rot, pts)
+    return {
+        "Rot1": cfg.rot_1_w * jnp.mean(base(pred["rot"], gt_rot)),
+        "Tran": cfg.tran_w * jnp.mean(base(pred["trans"], gt_trans_n)),
+        "Point_matching": cfg.prop_pm_w * jnp.mean(base(pred_pts, gt_pts)),
+    }
+
+
+def scale_loss(cfg: LossConfig, pred_scale: jnp.ndarray,
+               gt_scale: jnp.ndarray) -> jnp.ndarray:
+    """Reference Scale_loss (pose_loss.py:388-399)."""
+    base = _l1 if cfg.pose_loss_type == "l1" else _smooth_l1
+    return jnp.mean(base(pred_scale, gt_scale))

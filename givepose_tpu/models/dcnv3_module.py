@@ -21,7 +21,10 @@ from typing import Any
 import jax.numpy as jnp
 import flax.linen as nn
 
+import jax
+
 from givepose_tpu.ops.dcnv3 import dcnv3_core
+from givepose_tpu.ops.dcnv3_pallas import dcnv3_fast
 
 Dtype = Any
 
@@ -36,6 +39,7 @@ class DCNv3(nn.Module):
     dilation: int = 1
     group: int = 4
     offset_scale: float = 1.0
+    impl: str = "auto"          # auto | pallas | xla
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -76,14 +80,22 @@ class DCNv3(nn.Module):
             mask_logits.reshape(n, nh, nw, self.group, p).astype(jnp.float32),
             axis=-1).reshape(n, nh, nw, self.group * p).astype(self.dtype)
 
-        # core sampling runs in f32 for accurate bilinear weights
-        y = dcnv3_core(x_proj.astype(jnp.float32),
-                       offset.astype(jnp.float32),
-                       mask.astype(jnp.float32),
-                       kernel=self.kernel_size, stride=self.stride,
-                       pad=self.pad, dilation=self.dilation,
-                       group=self.group,
-                       offset_scale=self.offset_scale).astype(self.dtype)
+        # core sampling runs in f32 for accurate bilinear weights.
+        # impl: 'pallas' = separable MXU/VPU kernel (TPU; bf16 matmul
+        # rounding ~4e-3 relative), 'xla' = gather formulation (exact,
+        # slow on TPU, fine on CPU), 'auto' = pallas on TPU else xla.
+        impl = self.impl
+        if impl == "auto":
+            impl = ("pallas" if jax.default_backend() not in ("cpu",)
+                    else "xla")
+        core = dcnv3_fast if impl == "pallas" else dcnv3_core
+        y = core(x_proj.astype(jnp.float32),
+                 offset.astype(jnp.float32),
+                 mask.astype(jnp.float32),
+                 kernel=self.kernel_size, stride=self.stride,
+                 pad=self.pad, dilation=self.dilation,
+                 group=self.group,
+                 offset_scale=self.offset_scale).astype(self.dtype)
         return nn.Dense(self.channels, dtype=self.dtype,
                         param_dtype=jnp.float32, name="output_proj")(y)
 
@@ -95,6 +107,7 @@ class DCNv3Conv(nn.Module):
     features: int
     stride: int = 1
     group: int = 4
+    impl: str = "auto"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -103,4 +116,4 @@ class DCNv3Conv(nn.Module):
                     dtype=self.dtype, param_dtype=jnp.float32,
                     name="proj")(x)
         return DCNv3(self.features, stride=self.stride, group=self.group,
-                     dtype=self.dtype, name="dcnv3")(y)
+                     impl=self.impl, dtype=self.dtype, name="dcnv3")(y)

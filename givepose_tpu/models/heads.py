@@ -73,6 +73,7 @@ class MAPEncoder(nn.Module):
     outdim: int = 256
     num_stride2_layers: int = 3
     use_dcn: str = "dcnv3"
+    dcn_impl: str = "auto"
     act: str = "relu"
     dtype: Dtype = jnp.float32
 
@@ -83,8 +84,8 @@ class MAPEncoder(nn.Module):
             features = (self.outdim if i == self.num_stride2_layers - 1
                         else self.featdim)
             if self.use_dcn == "dcnv3":
-                y = DCNv3Conv(features, stride=2, dtype=self.dtype,
-                              name=f"dcn{i}")(y)
+                y = DCNv3Conv(features, stride=2, impl=self.dcn_impl,
+                              dtype=self.dtype, name=f"dcn{i}")(y)
             else:
                 y = nn.Conv(features, (3, 3), strides=(2, 2),
                             padding=[(1, 1), (1, 1)], use_bias=False,

@@ -62,7 +62,8 @@ class PoseNet(nn.Module):
         coor_nocs = jnp.concatenate([cx, cy, cz], axis=-1)  # (B,64,64,3) f32
 
         if self.cfg.nocsmap_encoder == "conv":
-            nocs_feat = MAPEncoder(use_dcn=self.cfg.use_dcn, dtype=dtype,
+            nocs_feat = MAPEncoder(use_dcn=self.cfg.use_dcn,
+                                   dcn_impl=self.cfg.dcn_impl, dtype=dtype,
                                    name="nocs_encoder")(
                 coor_nocs.astype(dtype))
         elif self.cfg.nocsmap_encoder == "att":
