@@ -1,0 +1,74 @@
+"""Training input pipeline: host decode thread + on-device preprocessing.
+
+Replaces the reference's multiprocess DataLoader (engine/train.py:111-113,
+num_workers=4) with a single prefetch thread — on TPU hosts the heavy work
+(crop/zoom/augment) lives in the jitted graph, so the host only decodes
+PNGs and stacks arrays; one thread double-buffers ahead of the device.
+"""
+
+from __future__ import annotations
+
+import queue
+import random
+import threading
+
+import numpy as np
+
+from givepose_tpu.data.preprocess import collate_records
+from givepose_tpu.data.records import NocsRecordReader
+from givepose_tpu.data.sampler import EpochSampler
+
+
+class TrainPipeline:
+    def __init__(self, reader: NocsRecordReader, batch_size: int,
+                 train_size: int, syn_ratio: float = 3.0, seed: int = 0,
+                 prefetch: int = 2):
+        self.reader = reader
+        self.batch_size = batch_size
+        subset = reader.subset_len
+        if len(subset) == 2:
+            cam_len, real_len = subset
+        elif reader.source == "CAMERA":
+            cam_len, real_len = len(reader), 0
+        else:
+            cam_len, real_len = 0, len(reader)
+        self.sampler = EpochSampler(cam_len, real_len, train_size,
+                                    syn_ratio, seed)
+        self.rng = random.Random(seed)
+        self.prefetch = prefetch
+
+    def _read_batch(self, indices) -> dict:
+        records = []
+        for idx in indices:
+            rec = None
+            probe = int(idx)
+            for _ in range(32):       # bad-sample skipping (reference
+                rec = self.reader.read(probe, self.rng)  # :185-255)
+                if rec is not None:
+                    break
+                probe = (probe + 1) % len(self.reader)
+            if rec is None:
+                raise RuntimeError("could not read any valid sample")
+            records.append(rec)
+        return collate_records(records)
+
+    def epoch(self):
+        """Yield raw host batches for one epoch (prefetched)."""
+        indices = self.sampler.epoch_indices()
+        n_batches = len(indices) // self.batch_size
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+
+        def worker():
+            for b in range(n_batches):
+                chunk = indices[b * self.batch_size:
+                                (b + 1) * self.batch_size]
+                q.put(self._read_batch(chunk))
+            q.put(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            batch = q.get()
+            if batch is None:
+                break
+            yield batch

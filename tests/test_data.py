@@ -1,0 +1,185 @@
+"""Data pipeline tests on a synthetic NOCS-format dataset."""
+
+import os
+import random
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from givepose_tpu.data import (
+    NocsRecordReader,
+    TrainPipeline,
+    collate_records,
+    preprocess_batch,
+    EpochSampler,
+)
+from givepose_tpu.data.augment import color_augment, defor_2d_mask
+from givepose_tpu.data.synthetic import make_synthetic_nocs
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth")
+    data_dir, ivfc_dir = make_synthetic_nocs(str(root), n_images=4)
+    return data_dir, ivfc_dir
+
+
+class TestReader:
+    def test_reads_records(self, synth):
+        data_dir, ivfc_dir = synth
+        reader = NocsRecordReader("Real", "train", data_dir, ivfc_dir)
+        assert len(reader) == 4
+        rec = reader.read(0, random.Random(0))
+        assert rec is not None
+        assert rec.image.shape == (480, 640, 3)
+        assert rec.mask.sum() > 50
+        assert rec.nocs_coord.shape == (480, 640, 3)
+        # nocs zeroed outside the mask
+        assert np.all(rec.nocs_coord[rec.mask == 0] == 0)
+        assert np.abs(rec.nocs_coord).max() <= 0.5 + 1e-3
+        assert rec.ivfc_mask.sum() > 0
+
+    def test_nocs_decode_consistent_with_pose(self, synth):
+        """Round-trip: R @ (nocs*scale... ) + t must project onto pixels.
+
+        The synthetic writer encodes exact NOCS/pose pairs, so decode +
+        projection must land each NOCS pixel near its own image location —
+        this catches channel-order / z-flip mistakes in the decoder.
+        """
+        data_dir, ivfc_dir = synth
+        reader = NocsRecordReader("Real", "train", data_dir, ivfc_dir)
+        rec = reader.read(1, random.Random(0))
+        ys, xs = np.where(rec.mask > 0)
+        take = slice(0, len(ys), max(1, len(ys) // 200))
+        nocs = rec.nocs_coord[ys[take], xs[take]]       # [-0.5, 0.5]
+        # metric points: nocs * nocs_scale (model normalized by diagonal)
+        pts = nocs * rec.nocs_scale
+        cam = pts @ rec.rotation.T + rec.translation
+        proj = cam @ rec.cam_k.T
+        px = proj[:, 0] / proj[:, 2]
+        py = proj[:, 1] / proj[:, 2]
+        err = np.hypot(px - xs[take], py - ys[take])
+        # decode quantizes to 1/255 in NOCS -> a few pixels after proj
+        assert np.median(err) < 4.0, np.median(err)
+
+    def test_bad_index_skipping(self, synth):
+        data_dir, ivfc_dir = synth
+        reader = NocsRecordReader("Real", "train", data_dir, ivfc_dir)
+        reader.img_list.append("Real/train/scene_1/9999")  # nonexistent
+        assert reader.read(len(reader) - 1) is None
+
+
+class TestPreprocess:
+    def test_shapes_and_ranges(self, synth):
+        data_dir, ivfc_dir = synth
+        reader = NocsRecordReader("Real", "train", data_dir, ivfc_dir)
+        recs = [reader.read(i, random.Random(i)) for i in range(3)]
+        batch = collate_records(recs)
+        out = preprocess_batch(jax.random.PRNGKey(0), batch,
+                               img_size=128, out_res=32, train=True)
+        assert out["roi_img"].shape == (3, 128, 128, 3)
+        assert out["nocs_coord"].shape == (3, 32, 32, 3)
+        assert out["roi_coord_2d"].shape == (3, 32, 32, 2)
+        assert out["roi_mask_output"].shape == (3, 32, 32, 1)
+        assert out["full_img"].shape == (3, 128, 128, 3)
+        assert np.isfinite(np.asarray(out["roi_img"])).all()
+        # mask binary
+        m = np.asarray(out["roi_mask_output"])
+        assert set(np.unique(m)).issubset({0.0, 1.0})
+        # crop covers the object: some foreground present
+        assert m.sum() > 0
+        # resize_ratio = out_res / scale
+        np.testing.assert_allclose(
+            np.asarray(out["resize_ratio"]),
+            32.0 / np.asarray(out["img_scale"]), rtol=1e-6)
+
+    def test_eval_mode_deterministic(self, synth):
+        data_dir, ivfc_dir = synth
+        reader = NocsRecordReader("Real", "train", data_dir, ivfc_dir)
+        recs = [reader.read(0, random.Random(0))]
+        batch = collate_records(recs)
+        a = preprocess_batch(jax.random.PRNGKey(0), batch, img_size=128,
+                             out_res=32, train=False)
+        b = preprocess_batch(jax.random.PRNGKey(7), batch, img_size=128,
+                             out_res=32, train=False)
+        np.testing.assert_allclose(np.asarray(a["roi_img"]),
+                                   np.asarray(b["roi_img"]))
+        # eval centers on the exact bbox
+        bb = batch["bbox"][0]
+        np.testing.assert_allclose(
+            np.asarray(a["bbox_center"][0]),
+            [(bb[0] + bb[2]) / 2, (bb[1] + bb[3]) / 2], rtol=1e-5)
+
+    def test_coord2d_matches_warped_grid(self, synth):
+        """Closed-form coord crop == warping the analytic grid."""
+        import cv2
+        from givepose_tpu.ops import get_2d_coord_grid
+        data_dir, ivfc_dir = synth
+        reader = NocsRecordReader("Real", "train", data_dir, ivfc_dir)
+        rec = reader.read(0, random.Random(0))
+        batch = collate_records([rec])
+        out = preprocess_batch(jax.random.PRNGKey(0), batch, img_size=128,
+                               out_res=32, train=False)
+        got = np.asarray(out["roi_coord_2d"][0])          # (32,32,2)
+        center = np.asarray(out["bbox_center"][0])
+        scale = float(out["img_scale"][0])
+        grid = np.asarray(get_2d_coord_grid(640, 480)).transpose(1, 2, 0)
+        a = 32 / scale
+        m = np.array([[a, 0, 16 - a * center[0]],
+                      [0, a, 16 - a * center[1]]], np.float32)
+        ref = cv2.warpAffine(grid, m, (32, 32), flags=cv2.INTER_NEAREST)
+        assert np.abs(got - ref).max() < 2.0 / 480  # tie-break tolerance
+
+
+class TestAugment:
+    def test_color_augment_bounds(self, rng):
+        img = jnp.asarray(rng.uniform(0, 255, (2, 32, 32, 3)), jnp.float32)
+        out = color_augment(jax.random.PRNGKey(0), img, prob=1.0)
+        o = np.asarray(out)
+        assert o.min() >= 0 and o.max() <= 255
+        assert not np.allclose(o, np.asarray(img))
+
+    def test_color_augment_prob_zero_identity(self, rng):
+        img = jnp.asarray(rng.uniform(0, 255, (2, 16, 16, 3)), jnp.float32)
+        out = color_augment(jax.random.PRNGKey(0), img, prob=0.0)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(img),
+                                   atol=1e-4)
+
+    def test_mask_deform_band_only(self, rng):
+        mask = np.zeros((1, 32, 32), np.float32)
+        mask[0, 8:24, 8:24] = 1.0
+        out = np.asarray(defor_2d_mask(jax.random.PRNGKey(1),
+                                       jnp.asarray(mask), prob=1.0))
+        # interior far from the boundary untouched
+        np.testing.assert_allclose(out[0, 12:20, 12:20], 1.0)
+        np.testing.assert_allclose(out[0, :6, :6], 0.0)
+        assert set(np.unique(out)).issubset({0.0, 1.0})
+
+
+class TestSampler:
+    def test_ratio(self):
+        # sizes where the reference's n_repeat formula
+        # ((train_size)//(4*real_len) + 1) evaluates to 1, giving the
+        # intended 3:1 page composition (engine/train.py:99-105 semantics)
+        s = EpochSampler(camera_len=900, real_len=100, train_size=380,
+                         syn_ratio=3.0, seed=0)
+        idx = s.epoch_indices()
+        assert len(idx) == 380
+        n_real = int((idx >= 900).sum())
+        n_cam = int((idx < 900).sum())
+        # CAMERA:Real ~ 3:1
+        assert 2.0 < n_cam / max(n_real, 1) < 4.5
+
+    def test_pipeline_epoch(self, synth):
+        data_dir, ivfc_dir = synth
+        reader = NocsRecordReader("Real", "train", data_dir, ivfc_dir)
+        pipe = TrainPipeline(reader, batch_size=2, train_size=4)
+        batches = list(pipe.epoch())
+        assert len(batches) == 2
+        assert batches[0]["image"].shape == (2, 480, 640, 3)
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])
