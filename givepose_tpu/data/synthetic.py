@@ -131,6 +131,9 @@ def make_synthetic_nocs(root: str, n_images: int = 4, seed: int = 0,
             "rotations": np.array([rot]),
             "translations": np.array([trans]),
             "poses": np.array([np.hstack([rot, trans[:, None]])]),
+            # synthetic-only extra: normalized box extents (= metric size
+            # / diagonal), used by the eval fixture for gt_scales
+            "sizes_normed": np.array([size / nocs_scale]),
         }
         with open(os.path.join(scene, name + "_label.pkl"), "wb") as f:
             pickle.dump(gts, f)
@@ -154,4 +157,49 @@ def make_synthetic_nocs(root: str, n_images: int = 4, seed: int = 0,
     with open(os.path.join(data_dir, "obj_models/mug_meta.pkl"),
               "wb") as f:
         pickle.dump({m: (np.zeros(3, np.float32), 1.0) for m in models}, f)
+    return data_dir, ivfc_dir
+
+
+def make_synthetic_eval(root: str, n_images: int = 3, seed: int = 1):
+    """Test split + DualPoseNet-style detection pkls using GT as
+    detections (detection format: evaluation/load_data_eval.py:194-201,
+    result-dict keys: evaluate.py:128-133)."""
+    data_dir, ivfc_dir = make_synthetic_nocs(root, n_images=n_images,
+                                             seed=seed, split="test",
+                                             source="Real")
+    det_root = os.path.join(data_dir,
+                            "detection_dualposenet/data/"
+                            "segmentation_results_refine_for_mug/REAL275")
+    os.makedirs(det_root, exist_ok=True)
+    with open(os.path.join(data_dir, "Real/test_list.txt")) as f:
+        entries = [line.strip() for line in f if line.strip()]
+    for sub in entries:
+        img_path = os.path.join(data_dir, "Real", sub)
+        with open(img_path + "_label.pkl", "rb") as f:
+            gts = pickle.load(f)
+        mask_png = cv2.imread(img_path + "_mask.png")
+        inst_mask = (mask_png[:, :, 2] == 1).astype(np.uint8)
+        y1, x1, y2, x2 = gts["bboxes"][0]
+        scene = sub.split("/")[-2]
+        img_id = sub.split("/")[-1]
+        rot = gts["rotations"][0]
+        trans = gts["translations"][0]
+        rt = np.eye(4)
+        rt[:3, :3] = rot * gts["scales"][0]
+        rt[:3, 3] = trans
+        det = {
+            "pred_class_ids": np.array(gts["class_ids"]),
+            "pred_bboxes": np.array([[y1, x1, y2, x2]]),
+            "pred_scores": np.array([0.97]),
+            "pred_masks": inst_mask[:, :, None],
+            "gt_class_ids": np.array(gts["class_ids"]),
+            "gt_bboxes": np.array([[y1, x1, y2, x2]]),
+            "gt_RTs": np.array([rt]),
+            "gt_scales": np.array(gts["sizes_normed"]),
+            "gt_handle_visibility": np.ones(1),
+        }
+        with open(os.path.join(
+                det_root, f"results_test_{scene}_{img_id}.pkl"),
+                "wb") as f:
+            pickle.dump(det, f)
     return data_dir, ivfc_dir

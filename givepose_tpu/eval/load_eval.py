@@ -1,0 +1,257 @@
+"""Evaluation data loading (NOCS REAL275/CAMERA25 + Wild6D).
+
+Reference: evaluation/load_data_eval.py — per test image, read the
+DualPoseNet segmentation pkl (``results_test_{scene}_{img}.pkl``,
+:194-201), build one crop per detected instance (square bbox * 1.5 pad, no
+jitter, :258-270), and carry the detection dict through to the mAP stage.
+Wild6D (evaluation/load_data_eval_wild.py): mask-derived bboxes,
+per-category test lists, GT from pkl_annotations, pred_scores=[1].
+
+TPU-first batching: instances are padded to ``max_instances`` with a
+validity mask so every image evaluates with static shapes under jit; the
+reference instead runs ragged per-image batches (eval_batch_size=1 +
+identity collate, evaluate.py:84-90).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import pickle
+
+import cv2
+import numpy as np
+
+from givepose_tpu.data.records import (
+    CAMERA_K,
+    REAL_K,
+    IMG_MEAN,
+    IMG_STD,
+    CAT_NAMES,
+    ID2CAT_CAMERA,
+    _FSNET_UNITS,
+)
+from givepose_tpu.geometry.symmetry import sym_info
+
+
+def mean_shape_of(cat_id: int, source: str = "Real") -> np.ndarray:
+    name = (ID2CAT_CAMERA[cat_id] if source == "CAMERA"
+            else CAT_NAMES[cat_id - 1])
+    return np.array(_FSNET_UNITS[name], np.float32) / 1000.0
+
+
+class NocsEvalReader:
+    """Per-image eval samples from the NOCS layout + detection pkls."""
+
+    def __init__(self, source: str, data_dir: str,
+                 detection_dir: str | None = None,
+                 refine_mug: bool = True, per_obj: str = "all"):
+        assert source in ("CAMERA", "Real", "CAMERA+Real")
+        self.source = "CAMERA" if source == "CAMERA" else "Real"
+        self.data_dir = data_dir
+        self.per_obj = per_obj
+        if detection_dir is None:
+            sub = ("segmentation_results_refine_for_mug" if refine_mug
+                   else "segmentation_results")
+            detection_dir = os.path.join(
+                data_dir, "detection_dualposenet/data", sub)
+        self.detection_dir = detection_dir
+
+        list_file = ("CAMERA/val_list.txt" if self.source == "CAMERA"
+                     else "Real/test_list.txt")
+        with open(os.path.join(data_dir, list_file)) as f:
+            self.img_list = [
+                os.path.join(list_file.split("/")[0], line.strip())
+                for line in f if line.strip()]
+
+    def __len__(self):
+        return len(self.img_list)
+
+    def detection_path(self, img_path: str) -> str:
+        scene = img_path.split("/")[-2]
+        img_id = img_path.split("/")[-1]
+        if self.source == "CAMERA":
+            return os.path.join(self.detection_dir, "CAMERA25",
+                                f"results_val_{scene}_{img_id}.pkl")
+        return os.path.join(self.detection_dir, "REAL275",
+                            f"results_test_{scene}_{img_id}.pkl")
+
+    def read(self, index: int):
+        """Returns (image_rgb, detection_dict, cam_K) or None."""
+        sub = self.img_list[index]
+        img_path = os.path.join(self.data_dir, sub)
+        det_path = self.detection_path(sub)
+        try:
+            with open(det_path, "rb") as f:
+                det = pickle.load(f)
+        except Exception:
+            return None
+        image = cv2.imread(img_path + "_color.png")
+        if image is None:
+            return None
+        image = cv2.cvtColor(image[:, :, :3], cv2.COLOR_BGR2RGB)
+        cam_k = CAMERA_K if self.source == "CAMERA" else REAL_K
+        return image, det, cam_k
+
+
+def build_instance_batch(image: np.ndarray, det: dict, cam_k: np.ndarray,
+                         source: str, img_size: int = 256,
+                         out_res: int = 64, pad_scale: float = 1.5,
+                         max_instances: int = 24, resize_full: bool = True,
+                         per_obj_id: int | None = None):
+    """Host-side crop batch for one image's detections.
+
+    Keeps reference crop math (bbox y1x1y2x2 -> square * pad, NEAREST
+    interp, load_data_eval.py:258-283) but pads the instance axis to
+    ``max_instances`` and returns a ``valid`` mask for static-shape jit.
+    Returns (batch dict, kept_indices) or None if no instance.
+    """
+    im_h, im_w = image.shape[:2]
+    cls_ids = np.asarray(det["pred_class_ids"])
+    keep = np.arange(len(cls_ids))
+    if per_obj_id is not None:
+        keep = keep[cls_ids == per_obj_id]
+    keep = keep[:max_instances]
+    n = len(keep)
+    if n == 0:
+        return None
+
+    img_f = image.astype(np.float32)
+    norm = (img_f / 255.0 - IMG_MEAN) / IMG_STD
+
+    def crop(arr, center, scale, out, nearest=True):
+        a = out / scale
+        m = np.array([[a, 0, out * 0.5 - a * center[0]],
+                      [0, a, out * 0.5 - a * center[1]]], np.float32)
+        flag = cv2.INTER_NEAREST if nearest else cv2.INTER_LINEAR
+        return cv2.warpAffine(arr, m, (out, out), flags=flag)
+
+    b = {
+        "roi_img": np.zeros((max_instances, img_size, img_size, 3),
+                            np.float32),
+        "roi_mask": np.zeros((max_instances, img_size, img_size, 1),
+                             np.float32),
+        "roi_coord_2d": np.zeros((max_instances, out_res, out_res, 2),
+                                 np.float32),
+        "bbox_center": np.zeros((max_instances, 2), np.float32),
+        "resize_ratio": np.ones((max_instances,), np.float32),
+        "roi_wh": np.ones((max_instances, 2), np.float32),
+        "img_scale": np.ones((max_instances,), np.float32),
+        "mean_size": np.ones((max_instances, 3), np.float32),
+        "sym_info": np.zeros((max_instances, 4), np.float32),
+        "cat_id_0base": np.zeros((max_instances,), np.int32),
+        "one_hot": np.zeros((max_instances, 6), np.float32),
+        "cam_K": np.tile(cam_k[None], (max_instances, 1, 1)),
+        "valid": np.zeros((max_instances,), np.float32),
+    }
+
+    # normalized pixel grid (reference get_2d_coord_np semantics)
+    gx = (np.arange(im_w, dtype=np.float32) - (im_w - 1) / 2) \
+        / ((im_w - 1) / 2)
+    gy = (np.arange(im_h, dtype=np.float32) - (im_h - 1) / 2) \
+        / ((im_h - 1) / 2)
+    grid = np.stack(np.meshgrid(gx, gy), axis=-1)      # (H, W, 2)
+
+    for slot, j in enumerate(keep):
+        cat_id = int(cls_ids[j])
+        y1, x1, y2, x2 = det["pred_bboxes"][j]
+        bw = min(im_w, x2) - max(0, x1)
+        bh = min(im_h, y2) - max(0, y1)
+        cx, cy = 0.5 * (x1 + x2), 0.5 * (y1 + y2)
+        scale = min(max(y2 - y1, x2 - x1) * pad_scale,
+                    max(im_h, im_w)) * 1.0
+        center = np.array([cx, cy], np.float32)
+
+        b["roi_img"][slot] = crop(norm, center, scale, img_size)
+        mask = det["pred_masks"][:, :, j].astype(np.float32)
+        b["roi_mask"][slot, :, :, 0] = crop(mask, center, scale, img_size)
+        b["roi_coord_2d"][slot] = crop(grid, center, scale, out_res)
+        b["bbox_center"][slot] = center
+        b["img_scale"][slot] = scale
+        b["resize_ratio"][slot] = out_res / scale
+        b["roi_wh"][slot] = (bw, bh)
+        b["mean_size"][slot] = mean_shape_of(cat_id, source)
+        b["sym_info"][slot] = sym_info(cat_id)
+        b["cat_id_0base"][slot] = cat_id - 1
+        b["one_hot"][slot, cat_id - 1] = 1.0
+        b["valid"][slot] = 1.0
+
+    if resize_full:
+        full = cv2.resize(img_f, (img_size, img_size))
+    else:
+        full = img_f
+    full = (full / 255.0 - IMG_MEAN) / IMG_STD
+    b["full_img"] = np.tile(full[None], (max_instances, 1, 1, 1))
+    return b, keep
+
+
+class WildEvalReader:
+    """Wild6D test loader (evaluation/load_data_eval_wild.py:20-246).
+
+    Layout: <root>/test_set/<category>/<video>/<frame>/ images + masks,
+    GT from <root>/pkl_annotations/<category>/<category>-<video>-<frame>.pkl;
+    detections are mask-derived with pred_scores=[1] (:150-190).
+    """
+
+    CATEGORIES = ["bottle", "bowl", "camera", "laptop", "mug"]
+
+    def __init__(self, data_dir: str, per_obj: str = "all"):
+        self.data_dir = data_dir
+        cats = [per_obj] if per_obj in self.CATEGORIES else self.CATEGORIES
+        self.samples = []
+        for cat in cats:
+            ann_dir = os.path.join(data_dir, "pkl_annotations", cat)
+            for pkl_path in sorted(glob.glob(os.path.join(ann_dir,
+                                                          "*.pkl"))):
+                self.samples.append((cat, pkl_path))
+
+    def __len__(self):
+        return len(self.samples)
+
+    def read(self, index: int):
+        cat, pkl_path = self.samples[index]
+        try:
+            with open(pkl_path, "rb") as f:
+                ann = pickle.load(f)
+        except Exception:
+            return None
+        name = os.path.basename(pkl_path)[:-4]
+        parts = name.split("-")
+        frame = parts[-1]
+        video = "/".join(parts[1:-1])
+        base = os.path.join(self.data_dir, "test_set", cat, video,
+                            "images")
+        img_file = os.path.join(base, f"{frame}.jpg")
+        image = cv2.imread(img_file)
+        if image is None:
+            return None
+        image = cv2.cvtColor(image, cv2.COLOR_BGR2RGB)
+        mask_file = os.path.join(self.data_dir, "test_set", cat, video,
+                                 "masks", f"{frame}.png")
+        mask_png = cv2.imread(mask_file)
+        if mask_png is None:
+            return None
+        mask = (mask_png[:, :, 2] > 0).astype(np.uint8)
+        ys, xs = np.where(mask > 0)
+        if len(ys) == 0:
+            return None
+        bbox = np.array([ys.min(), xs.min(), ys.max(), xs.max()])
+
+        k = np.asarray(ann["K"], np.float32).reshape(3, 3) \
+            if "K" in ann else None
+        cat_id = self.CATEGORIES.index(cat) + 1
+        cat_id = {1: 1, 2: 2, 3: 3, 4: 5, 5: 6}[cat_id]  # skip 'can'
+        det = {
+            "pred_class_ids": np.array([cat_id]),
+            "pred_bboxes": np.array([bbox]),
+            "pred_scores": np.array([1.0]),
+            "pred_masks": mask[:, :, None],
+            "gt_class_ids": np.array([cat_id]),
+            "gt_RTs": np.asarray(ann.get("gt_RTs",
+                                         np.eye(4)[None])),
+            "gt_scales": np.asarray(ann.get("gt_scales",
+                                            np.ones((1, 3)))),
+            "gt_handle_visibility": np.ones(1),
+            "gt_bboxes": np.array([bbox]),
+        }
+        return image, det, k
