@@ -1,0 +1,146 @@
+"""Training CLI (reference engine/train.py:28-162).
+
+Usage:
+  python -m givepose_tpu.cli.train --dataset CAMERA+Real \\
+      --dataset_dir ./data/NOCS --batch_size 48 --total_epoch 300
+
+Differences from the reference, by design (SURVEY.md §7):
+  * preprocessing (DZI/crops/color aug/mask deform) runs on device inside
+    the step, not in worker processes;
+  * the train step is one jitted function over a data-parallel mesh;
+  * the loss's symmetry resolution is batched on device (no per-step
+    GPU->CPU sync);
+  * checkpoints carry optimizer + schedule state (exact resume);
+  * the failure-dump seam (reference :133-143) persists the offending
+    batch + state on non-finite loss and continues.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from givepose_tpu.core.checkpoint import (
+    latest_checkpoint,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from givepose_tpu.core.config import Config, parse_overrides
+from givepose_tpu.core.logging_utils import (
+    MetricLogger,
+    StepTimer,
+    setup_logger,
+)
+from givepose_tpu.core.mesh import make_mesh_for_batch, shard_batch
+from givepose_tpu.data import NocsRecordReader, TrainPipeline, \
+    preprocess_batch
+from givepose_tpu.models import PoseNet
+from givepose_tpu.train import init_train_state, make_train_step
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+def build_model_batch(raw, key, cfg: Config, train=True):
+    """Device preprocessing -> the dict PoseNet/PoseLoss consume."""
+    out = preprocess_batch(
+        key, {k: jnp.asarray(v) for k, v in raw.items()},
+        img_size=cfg.data.img_size, out_res=cfg.data.out_res, train=train,
+        color_aug_prob=cfg.data.color_aug_prob if train else 0.0,
+        resize_full=cfg.model.resize_full,
+        mask_pro=cfg.data.roi_mask_pro)
+    return out
+
+
+def train(argv=None, max_steps: int | None = None,
+          backbone_variant: str = "base"):
+    cfg = parse_overrides(Config(), argv if argv is not None
+                          else sys.argv[1:])
+    os.makedirs(cfg.train.model_save, exist_ok=True)
+    logger = setup_logger(
+        "train", os.path.join(cfg.train.model_save, "log_train.txt"))
+    metrics_log = MetricLogger(cfg.train.model_save)
+    with open(os.path.join(cfg.train.model_save, "config.json"),
+              "w") as f:
+        f.write(cfg.to_json())   # flags snapshot (reference :32)
+
+    reader = NocsRecordReader(
+        cfg.data.dataset, "train", cfg.data.dataset_dir,
+        cfg.data.ivfc_dir, per_obj=cfg.data.per_obj,
+        ban_mug=cfg.data.ban_mug)
+    pipeline = TrainPipeline(reader, cfg.train.batch_size,
+                             cfg.train.train_size, cfg.data.syn_ratio,
+                             seed=cfg.train.seed)
+
+    mesh = make_mesh_for_batch(cfg.train.batch_size,
+                               cfg.train.mesh_shape)
+    model = PoseNet(cfg=cfg.model, backbone_variant=backbone_variant)
+
+    key = jax.random.PRNGKey(cfg.train.seed)
+    first_raw = next(iter(pipeline.epoch()))
+    key, sub = jax.random.split(key)
+    sample = build_model_batch(first_raw, sub, cfg)
+    state = init_train_state(model, cfg, sample)
+    step_fn, _ = make_train_step(model, cfg, mesh=mesh)
+    state = jax.device_put(state, NamedSharding(mesh, P()))
+
+    start_epoch = 0
+    ckpt = None
+    if cfg.train.resume:
+        ckpt = (cfg.train.resume_model
+                or latest_checkpoint(cfg.train.model_save))
+    if ckpt:
+        state = restore_checkpoint(ckpt, state)
+        start_epoch = cfg.train.resume_point
+        logger.info("resumed from %s at epoch %d", ckpt, start_epoch)
+
+    timer = StepTimer()
+    global_step = int(state.step)
+    for epoch in range(start_epoch, cfg.train.total_epoch):
+        for raw in pipeline.epoch():
+            key, k_pre, k_step = jax.random.split(key, 3)
+            batch = build_model_batch(raw, k_pre, cfg)
+            batch = shard_batch(mesh, batch)
+            state, step_metrics = step_fn(state, batch, k_step)
+            global_step += 1
+            timer.tick()
+            if global_step % cfg.train.log_every == 0:
+                vals = {k: float(v) for k, v in step_metrics.items()}
+                total = vals.get("total_loss", float("nan"))
+                if not np.isfinite(total):
+                    # failure seam (reference :133-143): dump and continue
+                    dump_dir = os.path.join(cfg.train.model_save,
+                                            "exception")
+                    os.makedirs(dump_dir, exist_ok=True)
+                    np.savez(os.path.join(dump_dir,
+                                          f"step{global_step}.npz"),
+                             **{k: np.asarray(v)
+                                for k, v in raw.items()})
+                    logger.warning("non-finite loss at step %d; batch "
+                                   "dumped to %s", global_step, dump_dir)
+                vals["steps_per_sec"] = (1.0 / timer.mean
+                                         if timer.mean else 0.0)
+                vals["imgs_per_sec"] = (cfg.train.batch_size / timer.mean
+                                        if timer.mean else 0.0)
+                metrics_log.log(global_step, vals)
+                logger.info("epoch %d step %d loss %.4f (%.1f img/s)",
+                            epoch, global_step, total,
+                            vals["imgs_per_sec"])
+            if max_steps is not None and global_step >= max_steps:
+                save_checkpoint(os.path.join(cfg.train.model_save,
+                                             f"ckpt_{global_step}"),
+                                state)
+                return state
+        if (epoch + 1) % cfg.train.save_every == 0 \
+                or epoch == cfg.train.total_epoch - 1:
+            save_checkpoint(os.path.join(cfg.train.model_save,
+                                         f"ckpt_{global_step}"), state)
+            logger.info("saved checkpoint at epoch %d", epoch)
+    metrics_log.close()
+    return state
+
+
+if __name__ == "__main__":
+    train()

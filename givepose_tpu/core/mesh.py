@@ -40,3 +40,13 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
     sh = data_sharding(mesh)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sh), batch)
+
+
+def make_mesh_for_batch(batch_size: int, shape: tuple = ()) -> Mesh:
+    """1-D data mesh using the largest device count dividing batch_size."""
+    if shape:
+        return make_mesh(shape)
+    n = len(jax.devices())
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    return make_mesh((n,))
