@@ -13,3 +13,11 @@ from givepose_tpu.models.attention import (
     AttentionPnPNet,
 )
 from givepose_tpu.models.mobilenet import MobileNetV3Small
+from givepose_tpu.models.resnet import (
+    ResNet,
+    resnet18,
+    resnet34,
+    resnet50,
+    resnet101,
+)
+from givepose_tpu.models.aux_heads import CoordAtt, AttentionMaskHead

@@ -51,6 +51,9 @@ def make_optimizer(cfg: Config, steps_per_epoch: int | None = None
         opt = ranger(schedule, weight_decay=t.weight_decay)
     elif t.optimizer_type.lower() == "adam":
         opt = optax.adam(schedule)
+    elif t.optimizer_type.lower() == "adamw":
+        # reference engine/pre_train.py:69-70 option
+        opt = optax.adamw(schedule, weight_decay=t.weight_decay)
     else:
         raise ValueError(t.optimizer_type)
     opt = optax.chain(optax.clip_by_global_norm(t.grad_clip_norm), opt)

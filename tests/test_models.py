@@ -180,3 +180,37 @@ class TestScaleNet:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+class TestAuxModels:
+    def test_resnet18_stride32(self, rng):
+        from givepose_tpu.models import resnet18
+        model = resnet18()
+        x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), x)
+        y = model.apply(variables, x, mutable=["batch_stats"])[0]
+        assert y.shape == (1, 2, 2, 512)
+
+    def test_resnet50_channels(self, rng):
+        from givepose_tpu.models import resnet50
+        model = resnet50()
+        x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), x)
+        y = model.apply(variables, x, mutable=["batch_stats"])[0]
+        assert y.shape == (1, 2, 2, 2048)
+
+    def test_coordatt_preserves_shape(self, rng):
+        from givepose_tpu.models import CoordAtt
+        m = CoordAtt()
+        x = jnp.asarray(rng.normal(size=(2, 8, 8, 64)), jnp.float32)
+        variables = m.init(jax.random.PRNGKey(0), x)
+        y = m.apply(variables, x)
+        assert y.shape == x.shape
+
+    def test_attention_mask_head(self, rng):
+        from givepose_tpu.models import AttentionMaskHead
+        m = AttentionMaskHead(featdim=32)
+        x = jnp.asarray(rng.normal(size=(2, 16, 16, 5)), jnp.float32)
+        variables = m.init(jax.random.PRNGKey(0), x)
+        y = m.apply(variables, x)
+        assert y.shape == (2, 16, 16, 1)
