@@ -106,13 +106,14 @@ def defor_2d_mask(key, mask, prob: float = 0.5):
     b = mask.shape[0]
     k_apply, k_fill = jax.random.split(key)
     m4 = mask[..., None]
-    # 2x2 structuring element anchored like cv2 (covers (y..y+1, x..x+1))
+    # cv2's even-kernel anchor reads the window (y-1..y, x-1..x):
+    # pad one row/col BEFORE so the window looks backward like cv2
     dilate = jax.lax.reduce_window(
         m4, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 1, 1, 1),
-        [(0, 0), (0, 1), (0, 1), (0, 0)])
+        [(0, 0), (1, 0), (1, 0), (0, 0)])
     erode = -jax.lax.reduce_window(
         -m4, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 1, 1, 1),
-        [(0, 0), (0, 1), (0, 1), (0, 0)])
+        [(0, 0), (1, 0), (1, 0), (0, 0)])
     band = (dilate != erode)[..., 0]
     fill = jax.random.bernoulli(k_fill, 0.5, mask.shape).astype(mask.dtype)
     deformed = jnp.where(band, fill, mask)
