@@ -1,0 +1,112 @@
+"""Scale-net training CLI (reference network/scale_net.py:84-134 main()).
+
+Trains the two-tower metric-scale regressor against the GT scale
+``||real_size||`` with Scale_loss (reference losses/pose_loss.py:388-399);
+same data pipeline / sampler as the pose trainer.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from givepose_tpu.core.checkpoint import save_checkpoint
+from givepose_tpu.core.config import Config, parse_overrides
+from givepose_tpu.core.logging_utils import MetricLogger, setup_logger
+from givepose_tpu.data import NocsRecordReader, TrainPipeline
+from givepose_tpu.cli.train import build_model_batch
+from givepose_tpu.losses import scale_loss
+from givepose_tpu.models import ScaleNet
+from givepose_tpu.train.schedule import flat_and_anneal
+from givepose_tpu.train.step import TrainState
+
+
+def train_scale(argv=None, max_steps: int | None = None):
+    cfg = parse_overrides(Config(), argv if argv is not None
+                          else sys.argv[1:])
+    os.makedirs(cfg.train.model_save, exist_ok=True)
+    logger = setup_logger(
+        "train_scale",
+        os.path.join(cfg.train.model_save, "log_train_scale.txt"))
+    metrics_log = MetricLogger(cfg.train.model_save)
+
+    reader = NocsRecordReader(cfg.data.dataset, "train",
+                              cfg.data.dataset_dir, cfg.data.ivfc_dir,
+                              per_obj=cfg.data.per_obj,
+                              ban_mug=cfg.data.ban_mug)
+    pipeline = TrainPipeline(reader, cfg.train.batch_size,
+                             cfg.train.train_size, cfg.data.syn_ratio,
+                             seed=cfg.train.seed)
+
+    model = ScaleNet(feat_dim=cfg.model.feat_dim, use_hw=cfg.model.use_hw)
+    spe = max(cfg.train.train_size // cfg.train.batch_size, 1)
+    schedule = flat_and_anneal(cfg.train.lr,
+                               cfg.train.total_epoch * spe,
+                               warmup_iters=cfg.train.warmup_iters,
+                               anneal_point=cfg.train.anneal_point)
+    opt = optax.chain(optax.clip_by_global_norm(cfg.train.grad_clip_norm),
+                      optax.adam(schedule))
+
+    key = jax.random.PRNGKey(cfg.train.seed)
+    first = next(iter(pipeline.epoch()))
+    key, sub = jax.random.split(key)
+    sample = build_model_batch(first, sub, cfg)
+    variables = model.init(key, sample, train=True)
+    state = TrainState.create(variables, opt.init(variables["params"]))
+
+    @jax.jit
+    def step(state, batch, rng):
+        def loss_fn(params):
+            v = {"params": params}
+            if state.batch_stats:
+                v["batch_stats"] = state.batch_stats
+            pred, mut = model.apply(v, batch, train=True,
+                                    mutable=["batch_stats"],
+                                    rngs={"dropout": rng})
+            gt = jnp.linalg.norm(batch["real_size"], axis=1)
+            return scale_loss(cfg.loss, pred, gt), mut.get("batch_stats",
+                                                           {})
+
+        (loss, stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = opt.update(grads, state.opt_state,
+                                        state.params)
+        return state.replace(step=state.step + 1,
+                             params=optax.apply_updates(state.params,
+                                                        updates),
+                             batch_stats=stats,
+                             opt_state=opt_state), loss
+
+    global_step = 0
+    for epoch in range(cfg.train.total_epoch):
+        for raw in pipeline.epoch():
+            key, k_pre, k_step = jax.random.split(key, 3)
+            batch = build_model_batch(raw, k_pre, cfg)
+            state, loss = step(state, batch, k_step)
+            global_step += 1
+            if global_step % cfg.train.log_every == 0:
+                metrics_log.log(global_step,
+                                {"scale_loss": float(loss)})
+                logger.info("epoch %d step %d scale loss %.5f", epoch,
+                            global_step, float(loss))
+            if max_steps is not None and global_step >= max_steps:
+                save_checkpoint(os.path.join(cfg.train.model_save,
+                                             f"scale_ckpt_{global_step}"),
+                                state)
+                return state
+        if (epoch + 1) % cfg.train.save_every == 0 \
+                or epoch == cfg.train.total_epoch - 1:
+            save_checkpoint(os.path.join(cfg.train.model_save,
+                                         f"scale_ckpt_{global_step}"),
+                            state)
+    metrics_log.close()
+    return state
+
+
+if __name__ == "__main__":
+    train_scale()

@@ -41,7 +41,7 @@ class ConvNeXtBlock(nn.Module):
             y.astype(jnp.float32)).astype(self.dtype)
         y = nn.Dense(4 * self.dim, dtype=self.dtype,
                      param_dtype=jnp.float32)(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)  # torch/timm exact GELU
         y = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32)(y)
         gamma = self.param("gamma",
                            nn.initializers.constant(self.layer_scale_init),

@@ -30,7 +30,8 @@ def get_act(name: str) -> Callable:
     if name in ("lrelu", "leaky_relu"):
         return lambda x: nn.leaky_relu(x, negative_slope=0.1)
     if name == "gelu":
-        return nn.gelu
+        # torch nn.GELU default is the exact erf form
+        return lambda x: nn.gelu(x, approximate=False)
     if name == "silu":
         return nn.silu
     if name == "sigmoid":
