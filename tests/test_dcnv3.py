@@ -266,3 +266,28 @@ class TestDCNv3Pallas:
 
         gx = jax.grad(loss)(x, off, m)
         assert np.isfinite(np.asarray(gx)).all()
+
+
+class TestDCNv3PallasBf16:
+    def test_bf16_mode_close_to_core(self, rng):
+        from givepose_tpu.ops.dcnv3_pallas import dcnv3_pallas
+        g, p, stride = 4, 9, 2
+        h = 16
+        c = 64
+        h_out = (h + 2 - 3) // stride + 1
+        x = rng.normal(size=(2, h, h, c)).astype(np.float32)
+        off = (rng.normal(size=(2, h_out, h_out, g * p * 2)) * 2
+               ).astype(np.float32)
+        logits = rng.normal(size=(2, h_out, h_out, g, p))
+        m = (np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+             ).reshape(2, h_out, h_out, -1).astype(np.float32)
+        ref = np.asarray(dcnv3_core(jnp.asarray(x), jnp.asarray(off),
+                                    jnp.asarray(m), stride=stride,
+                                    group=g))
+        out = np.asarray(dcnv3_pallas(
+            jnp.asarray(x), jnp.asarray(off), jnp.asarray(m),
+            stride=stride, group=g, interpret=True,
+            compute_dtype=jnp.bfloat16))
+        # bf16 stage compute: ~1e-2 absolute on unit-scale activations
+        assert np.abs(out - ref).max() < 0.05
+        assert np.abs(out - ref).mean() < 0.005
