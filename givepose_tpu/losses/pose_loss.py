@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 
 from givepose_tpu.core.config import LossConfig
@@ -152,3 +153,32 @@ def scale_loss(cfg: LossConfig, pred_scale: jnp.ndarray,
     """Reference Scale_loss (pose_loss.py:388-399)."""
     base = _l1 if cfg.pose_loss_type == "l1" else _smooth_l1
     return jnp.mean(base(pred_scale, gt_scale))
+
+
+def soft_label_cross_entropy(pred_logits, target):
+    """Reference CrossEntropyLossWithSoftLabels (pose_loss.py:300-310):
+    -sum(log(max(target,1)) * softmax(pred))."""
+    pred_p = jax.nn.softmax(pred_logits, axis=1)
+    log_t = jnp.log(jnp.where(target == 0, 1.0, target))
+    return -jnp.sum(log_t * pred_p)
+
+
+def laplacian_aleatoric_loss(pred, target, log_variance, mask=None,
+                             balance_weight=10.0, sum_last_dim=True):
+    """Reference laplacian_aleatoric_uncertainty_loss (:469-483)."""
+    if sum_last_dim:
+        err = jnp.sum(jnp.abs(pred - target), axis=1, keepdims=True)
+    else:
+        err = jnp.abs(pred - target)
+    loss = (balance_weight * 1.4142 * jnp.exp(-0.5 * log_variance) * err
+            + 0.5 * log_variance)
+    if mask is not None:
+        loss = loss * mask
+    return jnp.mean(loss)
+
+
+def gaussian_aleatoric_loss(pred, target, log_variance):
+    """Reference gaussian_aleatoric_uncertainty_loss (:486-494)."""
+    loss = (0.5 * jnp.exp(-log_variance) * jnp.abs(pred - target) ** 2
+            + 0.5 * log_variance)
+    return jnp.mean(loss)

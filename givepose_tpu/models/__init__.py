@@ -11,6 +11,7 @@ from givepose_tpu.models.dcnv3_module import DCNv3, DCNv3Conv
 from givepose_tpu.models.attention import (
     MAPTransformerEncoder,
     AttentionPnPNet,
+    CrossAttentionPnPNet,
 )
 from givepose_tpu.models.mobilenet import MobileNetV3Small
 from givepose_tpu.models.resnet import (

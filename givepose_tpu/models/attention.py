@@ -121,3 +121,68 @@ class AttentionPnPNet(nn.Module):
         z = nn.Dense(1, dtype=jnp.float32, param_dtype=jnp.float32,
                      name="fc_z")(hz.astype(jnp.float32))
         return rot, jnp.concatenate([t2d, z], axis=-1), flat
+
+
+class CrossAttentionBlock(nn.Module):
+    dim: int
+    num_heads: int = 8
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q, kv):
+        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32)(
+            q.astype(jnp.float32)).astype(self.dtype)
+        h = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, dtype=self.dtype,
+            param_dtype=jnp.float32)(h, kv)
+        q = q + h
+        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32)(
+            q.astype(jnp.float32)).astype(self.dtype)
+        h = nn.Dense(4 * self.dim, dtype=self.dtype,
+                     param_dtype=jnp.float32)(h)
+        h = nn.gelu(h)
+        h = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32)(h)
+        return q + h
+
+
+class CrossAttentionPnPNet(nn.Module):
+    """Cross-attention PnP variant (reference attention_pnp_net.py:160+):
+    learned queries cross-attend to coordinate-map patch tokens, then the
+    pooled queries regress rot6d + (cx, cy, z)."""
+
+    img_size: int = 64
+    patch_size: int = 8
+    embed_dim: int = 192
+    depth: int = 3
+    num_heads: int = 8
+    num_queries: int = 16
+    rot_dim: int = 6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask_attention=None):
+        n = self.img_size // self.patch_size
+        kv = nn.Conv(self.embed_dim, (self.patch_size, self.patch_size),
+                     strides=(self.patch_size, self.patch_size),
+                     padding="VALID", dtype=self.dtype,
+                     param_dtype=jnp.float32, name="patch_embed")(x)
+        kv = kv.reshape(kv.shape[0], n * n, self.embed_dim)
+        pos = self.param("pos_embed",
+                         nn.initializers.truncated_normal(0.02),
+                         (1, n * n, self.embed_dim), jnp.float32)
+        kv = kv + pos.astype(self.dtype)
+        q = self.param("queries", nn.initializers.truncated_normal(0.02),
+                       (1, self.num_queries, self.embed_dim), jnp.float32)
+        q = jnp.broadcast_to(q, (kv.shape[0], self.num_queries,
+                                 self.embed_dim)).astype(self.dtype)
+        for i in range(self.depth):
+            q = CrossAttentionBlock(self.embed_dim, self.num_heads,
+                                    dtype=self.dtype, name=f"block{i}")(
+                q, kv)
+        feat = q.reshape(q.shape[0], -1).astype(jnp.float32)
+        h = nn.gelu(nn.Dense(1024, name="fc1")(feat))
+        h = nn.gelu(nn.Dense(256, name="fc2")(h))
+        rot = nn.Dense(self.rot_dim, name="fc_r")(h)
+        t2d = nn.Dense(2, name="fc_t")(h)
+        z = nn.Dense(1, name="fc_z")(h)
+        return rot, jnp.concatenate([t2d, z], axis=-1), feat

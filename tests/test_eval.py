@@ -265,3 +265,35 @@ class TestUmeyamaPose:
             assert err < 1.0, err
         np.testing.assert_allclose(np.asarray(out["translation"]), trans,
                                    atol=5e-3)
+
+
+class TestRansacPnP:
+    def test_recovers_pose(self, rng):
+        """cv2 PnP from exact NOCS<->pixel correspondences."""
+        from givepose_tpu.eval.pnp import ransac_pnp
+        r = 32
+        K = np.array([[591.0, 0, 322.5], [0, 590.2, 244.1], [0, 0, 1]])
+        nocs = rng.uniform(-0.4, 0.4, (r, r, 3)).astype(np.float32)
+        mask = np.ones((r, r), np.float32)
+        R = ScipyRot.from_euler("xyz", [0.2, -0.4, 0.1]).as_matrix()
+        t = np.array([0.1, -0.05, 1.1])
+        scale = 0.25
+        cam = (nocs * scale) @ R.T + t
+        px = cam[..., 0] / cam[..., 2] * K[0, 0] + K[0, 2]
+        py = cam[..., 1] / cam[..., 2] * K[1, 1] + K[1, 2]
+        fit = ransac_pnp(nocs, px, py, mask, K, nocs_scale=scale)
+        assert fit is not None
+        rot, trans = fit
+        from givepose_tpu.geometry import rotation_error_deg
+        import jax.numpy as jnp
+        err = float(rotation_error_deg(jnp.asarray(rot),
+                                       jnp.asarray(R, jnp.float32)))
+        assert err < 0.5
+        np.testing.assert_allclose(trans, t, atol=5e-3)
+
+    def test_too_few_points(self):
+        from givepose_tpu.eval.pnp import ransac_pnp
+        K = np.eye(3)
+        out = ransac_pnp(np.zeros((4, 4, 3)), np.zeros((4, 4)),
+                         np.zeros((4, 4)), np.zeros((4, 4)), K)
+        assert out is None

@@ -161,3 +161,26 @@ class TestOtherLosses:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+class TestAuxLosses:
+    def test_soft_label_ce(self):
+        from givepose_tpu.losses import soft_label_cross_entropy
+        logits = jnp.asarray([[2.0, 1.0, 0.0]])
+        target = jnp.asarray([[1.0, 0.0, 0.5]])
+        v = float(soft_label_cross_entropy(logits, target))
+        # target zeros replaced by 1 -> log 1 = 0 contribution
+        p = np.exp([2, 1, 0]) / np.exp([2, 1, 0]).sum()
+        expect = -(np.log(1.0) * p[0] + np.log(1.0) * p[1]
+                   + np.log(0.5) * p[2])
+        np.testing.assert_allclose(v, expect, rtol=1e-5)
+
+    def test_aleatoric_losses_finite(self, rng):
+        from givepose_tpu.losses import (laplacian_aleatoric_loss,
+                                         gaussian_aleatoric_loss)
+        pred = jnp.asarray(rng.normal(size=(4, 3)), jnp.float32)
+        tgt = jnp.asarray(rng.normal(size=(4, 3)), jnp.float32)
+        logv = jnp.zeros((4, 1), jnp.float32)
+        assert np.isfinite(float(laplacian_aleatoric_loss(pred, tgt, logv)))
+        assert np.isfinite(float(gaussian_aleatoric_loss(pred, tgt,
+                                                         jnp.zeros((4, 3)))))
