@@ -54,6 +54,17 @@ def make_optimizer(cfg: Config, steps_per_epoch: int | None = None
     elif t.optimizer_type.lower() == "adamw":
         # reference engine/pre_train.py:69-70 option
         opt = optax.adamw(schedule, weight_decay=t.weight_decay)
+    # remaining entries of the reference's solver zoo
+    # (tools/torch_utils/solver/: adabelief, sgd, radam, lookahead-adam)
+    elif t.optimizer_type.lower() == "adabelief":
+        opt = optax.adabelief(schedule)
+    elif t.optimizer_type.lower() == "sgd":
+        opt = optax.sgd(schedule, momentum=0.9)
+    elif t.optimizer_type.lower() == "radam":
+        opt = optax.radam(schedule)
+    elif t.optimizer_type.lower() == "lookahead_adam":
+        from givepose_tpu.train.ranger import lookahead
+        opt = lookahead(optax.adam(schedule))
     else:
         raise ValueError(t.optimizer_type)
     opt = optax.chain(optax.clip_by_global_norm(t.grad_clip_norm), opt)

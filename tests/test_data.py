@@ -183,3 +183,99 @@ class TestSampler:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+class TestAugment3D:
+    def _setup(self, rng, b=3, n=64):
+        from scipy.spatial.transform import Rotation as SR
+        rots = SR.random(b, random_state=np.random.RandomState(2)
+                         ).as_matrix().astype(np.float32)
+        data = {
+            "rotation": jnp.asarray(rots),
+            "translation": jnp.asarray(
+                rng.normal(size=(b, 3)) * 0.1 + [0, 0, 1], jnp.float32),
+            "real_size": jnp.asarray(rng.uniform(0.08, 0.3, (b, 3)),
+                                     jnp.float32),
+            "model_point": jnp.asarray(rng.uniform(-0.4, 0.4, (b, n, 3)),
+                                       jnp.float32),
+            "sym_info": jnp.asarray(np.tile([[0, 1, 0, 0]], (b, 1)),
+                                    jnp.float32),
+            "aug_bb": jnp.asarray(rng.uniform(0.8, 1.2, (b, 3)),
+                                  jnp.float32),
+            "aug_rt_t": jnp.asarray(rng.normal(size=(b, 3)) * 0.02,
+                                    jnp.float32),
+            "aug_rt_R": jnp.asarray(np.tile(np.eye(3), (b, 1, 1)),
+                                    jnp.float32),
+            "cat_id0": jnp.asarray([1, 2, 5]),
+            "nocs_scale": jnp.asarray(rng.uniform(0.1, 0.4, (b,)),
+                                      jnp.float32),
+        }
+        nocs = jnp.asarray(rng.uniform(-0.4, 0.4, (b, n, 3)), jnp.float32)
+        pc = (jnp.einsum("bij,bnj->bni", data["rotation"],
+                         nocs * data["nocs_scale"][:, None, None])
+              + data["translation"][:, None, :])
+        return pc, nocs, data
+
+    def test_bb_aug_preserves_pose_consistency(self, rng):
+        """After bb rescale, pc must equal R @ (nocs * new_scale) + t."""
+        from givepose_tpu.data.augment3d import defor_3d_bb
+        pc, nocs, d = self._setup(rng)
+        pc2, size2, nocs2, model2 = defor_3d_bb(
+            pc, d["rotation"], d["translation"], d["real_size"], nocs,
+            d["model_point"], d["sym_info"], d["aug_bb"])
+        # the nocs_scale after augmentation is norm(new_size)/norm(size)
+        # times the old scale; consistency: points re-projected from the
+        # augmented nocs with that scale match pc2
+        old_scale = np.asarray(d["nocs_scale"])
+        ratio = (np.linalg.norm(np.asarray(size2), axis=1)
+                 / np.linalg.norm(np.asarray(d["real_size"]), axis=1))
+        new_scale = old_scale * ratio
+        recon = (np.einsum("bij,bnj->bni", np.asarray(d["rotation"]),
+                           np.asarray(nocs2) * new_scale[:, None, None])
+                 + np.asarray(d["translation"])[:, None, :])
+        np.testing.assert_allclose(recon, np.asarray(pc2), atol=1e-5)
+
+    def test_rt_aug_moves_pose(self, rng):
+        from givepose_tpu.data.augment3d import defor_3d_rt
+        pc, nocs, d = self._setup(rng)
+        pc2, rot2, t2 = defor_3d_rt(pc, d["rotation"], d["translation"],
+                                    d["aug_rt_t"], d["aug_rt_R"])
+        np.testing.assert_allclose(np.asarray(t2),
+                                   np.asarray(d["translation"])
+                                   + np.asarray(d["aug_rt_t"]), atol=1e-6)
+        # with identity aug_R, object-frame points unchanged
+        obj1 = np.einsum("bij,bnj->bni",
+                         np.asarray(d["rotation"]).transpose(0, 2, 1),
+                         np.asarray(pc)
+                         - np.asarray(d["translation"])[:, None])
+        obj2 = np.einsum("bij,bnj->bni",
+                         np.asarray(rot2).transpose(0, 2, 1),
+                         np.asarray(pc2) - np.asarray(t2)[:, None])
+        np.testing.assert_allclose(obj1, obj2, atol=1e-5)
+
+    def test_pc_augment_driver(self, rng):
+        from givepose_tpu.data.augment3d import pc_augment
+        pc, nocs, d = self._setup(rng)
+        pc2, nocs2, d2 = pc_augment(jax.random.PRNGKey(0), pc, nocs, d)
+        assert pc2.shape == pc.shape
+        assert np.isfinite(np.asarray(pc2)).all()
+        assert set(d2) == set(d)
+
+
+class TestBboxUtils:
+    def test_square_window_quantized(self):
+        from givepose_tpu.data.bbox_utils import get_bbox_square
+        rmin, rmax, cmin, cmax = get_bbox_square((100, 100, 150, 160))
+        assert rmax - rmin == cmax - cmin == 80   # 60 -> 80 quantum
+        assert rmin >= 0 and cmax <= 640
+
+    def test_clamped_at_border(self):
+        from givepose_tpu.data.bbox_utils import get_bbox_square
+        rmin, rmax, cmin, cmax = get_bbox_square((0, 0, 30, 30))
+        assert rmin == 0 and cmin == 0
+        assert rmax - rmin == 40
+
+    def test_real_hw_clips(self):
+        from givepose_tpu.data.bbox_utils import get_real_hw
+        w, h = get_real_hw((-10, -20, 100, 200))
+        assert (w, h) == (200, 100)

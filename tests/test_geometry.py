@@ -335,3 +335,43 @@ class TestUmeyama:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+class TestBopErrors:
+    def test_mssd_zero_for_equal_and_sym(self, rng):
+        from givepose_tpu.geometry.bop_errors import mssd, mspd
+        pts = rng.uniform(-0.1, 0.1, (200, 3))
+        R = ScipyRot.from_euler("xyz", [0.2, 0.1, -0.3]).as_matrix()
+        t = np.array([0.0, 0.0, 1.0])
+        eye = np.eye(3)[None]
+        assert mssd(R, t, R, t, pts, eye) < 1e-12
+        # symmetric object: est rotated by a sym transform scores 0
+        ry = ScipyRot.from_euler("y", 90, degrees=True).as_matrix()
+        syms = np.stack([np.eye(3), ry])
+        assert mssd(R @ ry, t, R, t, pts, syms) < 1e-6
+        K = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]])
+        assert mspd(R, t, R, t, K, pts, eye) < 1e-8
+
+    def test_mssd_positive_for_offset(self, rng):
+        from givepose_tpu.geometry.bop_errors import mssd
+        pts = rng.uniform(-0.1, 0.1, (100, 3))
+        R = np.eye(3)
+        t = np.array([0, 0, 1.0])
+        err = mssd(R, t + [0.05, 0, 0], R, t, pts, np.eye(3)[None])
+        np.testing.assert_allclose(err, 0.05, rtol=1e-6)
+
+    def test_vsd_identical_poses_zero(self, rng):
+        from givepose_tpu.geometry.bop_errors import vsd
+        pts = rng.uniform(-0.08, 0.08, (3000, 3)).astype(np.float32)
+        R = np.eye(3, dtype=np.float32)
+        t = np.array([0, 0, 1.0], np.float32)
+        K = np.array([[500.0, 0, 64], [0, 500.0, 64], [0, 0, 1]],
+                     np.float32)
+        depth_test = np.zeros((128, 128), np.float32)
+        errs = vsd(R, t, R, t, K, pts, depth_test, im_h=128, im_w=128,
+                   taus=(0.02,))
+        assert errs[0] < 1e-6
+        # grossly wrong pose -> error near 1
+        errs2 = vsd(R, t + [0.5, 0.5, 0], R, t, K, pts, depth_test,
+                    im_h=128, im_w=128, taus=(0.02,))
+        assert errs2[0] > 0.9
