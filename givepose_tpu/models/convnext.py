@@ -28,6 +28,7 @@ class ConvNeXtBlock(nn.Module):
     dim: int
     layer_scale_init: float = 1e-6
     drop_path_rate: float = 0.0
+    gelu_exact: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -41,7 +42,7 @@ class ConvNeXtBlock(nn.Module):
             y.astype(jnp.float32)).astype(self.dtype)
         y = nn.Dense(4 * self.dim, dtype=self.dtype,
                      param_dtype=jnp.float32)(y)
-        y = nn.gelu(y, approximate=False)  # torch/timm exact GELU
+        y = nn.gelu(y, approximate=not self.gelu_exact)
         y = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32)(y)
         gamma = self.param("gamma",
                            nn.initializers.constant(self.layer_scale_init),
@@ -61,6 +62,9 @@ class ConvNeXt(nn.Module):
     depths: Sequence[int] = (3, 3, 27, 3)
     dims: Sequence[int] = (128, 256, 512, 1024)
     drop_path_rate: float = 0.0
+    # exact erf GELU matches torch/timm (required for ported weights) but
+    # costs ~20 ms per ConvNeXt-B forward at batch 64 on v5e
+    gelu_exact: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -85,22 +89,26 @@ class ConvNeXt(nn.Module):
             for blk in range(depth):
                 dp = (self.drop_path_rate * block_idx
                       / max(total_blocks - 1, 1))
-                y = ConvNeXtBlock(dim, drop_path_rate=dp, dtype=self.dtype,
+                y = ConvNeXtBlock(dim, drop_path_rate=dp,
+                                  gelu_exact=self.gelu_exact,
+                                  dtype=self.dtype,
                                   name=f"stage{stage}_block{blk}")(
                     y, deterministic=deterministic)
                 block_idx += 1
         return y
 
 
-def convnext_base(dtype: Dtype = jnp.float32,
-                  drop_path_rate: float = 0.0) -> ConvNeXt:
+def convnext_base(dtype: Dtype = jnp.float32, drop_path_rate: float = 0.0,
+                  gelu_exact: bool = False) -> ConvNeXt:
     """convnext_base config matching reference backbone.py:36-46."""
     return ConvNeXt(depths=(3, 3, 27, 3), dims=(128, 256, 512, 1024),
-                    drop_path_rate=drop_path_rate, dtype=dtype)
+                    drop_path_rate=drop_path_rate, gelu_exact=gelu_exact,
+                    dtype=dtype)
 
 
-def convnext_tiny(dtype: Dtype = jnp.float32,
-                  drop_path_rate: float = 0.0) -> ConvNeXt:
+def convnext_tiny(dtype: Dtype = jnp.float32, drop_path_rate: float = 0.0,
+                  gelu_exact: bool = False) -> ConvNeXt:
     """Smaller variant for tests/ablation."""
     return ConvNeXt(depths=(3, 3, 9, 3), dims=(96, 192, 384, 768),
-                    drop_path_rate=drop_path_rate, dtype=dtype)
+                    drop_path_rate=drop_path_rate, gelu_exact=gelu_exact,
+                    dtype=dtype)

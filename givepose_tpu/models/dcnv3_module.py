@@ -59,7 +59,7 @@ class DCNv3(nn.Module):
                      name="dw_conv")(x)
         x1 = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="dw_norm")(
             x1.astype(jnp.float32)).astype(self.dtype)
-        x1 = nn.gelu(x1, approximate=False)
+        x1 = nn.gelu(x1, approximate=True)
         if self.stride > 1:
             x1 = x1[:, ::self.stride, ::self.stride, :]
 

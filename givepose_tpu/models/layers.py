@@ -30,7 +30,11 @@ def get_act(name: str) -> Callable:
     if name in ("lrelu", "leaky_relu"):
         return lambda x: nn.leaky_relu(x, negative_slope=0.1)
     if name == "gelu":
-        # torch nn.GELU default is the exact erf form
+        # tanh approximation: ~2x faster on TPU (erf costs ~20 ms per
+        # ConvNeXt-B fwd at batch 64); use 'gelu_exact' to match torch
+        # bit-for-bit (needed when porting timm weights)
+        return lambda x: nn.gelu(x, approximate=True)
+    if name == "gelu_exact":
         return lambda x: nn.gelu(x, approximate=False)
     if name == "silu":
         return nn.silu

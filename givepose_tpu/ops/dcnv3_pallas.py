@@ -189,7 +189,8 @@ def dcnv3_pallas(x, offset, mask, kernel=3, stride=1, pad=1, dilation=1,
                  group=4, offset_scale=1.0, interpret=False,
                  tap_chunk=None, pix_tile_max=None,
                  scratch_budget_bytes=6 * 1024 * 1024,
-                 compute_dtype=jnp.float32):
+                 compute_dtype=jnp.float32,
+                 vmem_limit_bytes=100 * 1024 * 1024):
     """DCNv3 forward via the separable Pallas kernel.  NHWC.
 
     Contract identical to ``dcnv3_core`` / reference dcnv3_core_pytorch:
@@ -246,6 +247,8 @@ def dcnv3_pallas(x, offset, mask, kernel=3, stride=1, pad=1, dilation=1,
         out_shape=jax.ShapeDtypeStruct((n, group, gc, n_tiles * t),
                                        jnp.float32),
         scratch_shapes=[pltpu.VMEM((rows, tap_chunk * t), compute_dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_bytes),
         interpret=interpret,
     )(img_t, aux)
 

@@ -105,7 +105,7 @@ class TestWeightConversion:
                 x.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
 
         params = convert_convnext(timm_style_state_dict(tmodel))
-        fmodel = ConvNeXt(depths=(1, 1), dims=(8, 16))
+        fmodel = ConvNeXt(depths=(1, 1), dims=(8, 16), gelu_exact=True)
         out = fmodel.apply({"params": params}, jnp.asarray(x))
         np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
 
@@ -113,7 +113,7 @@ class TestWeightConversion:
         torch.manual_seed(1)
         tmodel = TorchConvNeXtTiny()
         params = convert_convnext(timm_style_state_dict(tmodel))
-        fmodel = ConvNeXt(depths=(1, 1), dims=(8, 16))
+        fmodel = ConvNeXt(depths=(1, 1), dims=(8, 16), gelu_exact=True)
         x = jnp.zeros((1, 16, 16, 3))
         init_params = fmodel.init(jax.random.PRNGKey(0), x)["params"]
         flat_a = jax.tree_util.tree_leaves_with_path(init_params)
