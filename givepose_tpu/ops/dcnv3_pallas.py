@@ -185,6 +185,30 @@ def _dcnv3_kernel(img_ref, aux_ref, o_ref, rmix_ref, *, dims, tap_chunk,
     o_ref[0, 0] = acc
 
 
+def auto_tiles(x_shape, offset_shape, kernel, pad, group, compute_dtype,
+               scratch_budget_bytes, tap_chunk=None, pix_tile_max=None):
+    """Deterministic (tap_chunk, pix_tile) selection fitting the stage-A
+    scratch into the VMEM budget — shared by forward and backward so the
+    aux layouts agree."""
+    _, h, w_sp, c_total = x_shape
+    _, h_out, w_out, _ = offset_shape
+    p_taps = kernel * kernel
+    gc_ = c_total // group
+    rows_ = gc_ * (w_sp + 2 * pad)
+    q_pix_ = h_out * w_out
+    elem_bytes = 2 if compute_dtype == jnp.bfloat16 else 4
+    if pix_tile_max is None or tap_chunk is None:
+        lanes_budget = max(128,
+                           scratch_budget_bytes // (rows_ * elem_bytes))
+        if pix_tile_max is None:
+            pix_tile_max = min(256, max(128, lanes_budget), q_pix_)
+        if tap_chunk is None:
+            tap_chunk = min(p_taps,
+                            max(1, lanes_budget // min(pix_tile_max,
+                                                       q_pix_)))
+    return tap_chunk, pix_tile_max
+
+
 def dcnv3_pallas(x, offset, mask, kernel=3, stride=1, pad=1, dilation=1,
                  group=4, offset_scale=1.0, interpret=False,
                  tap_chunk=None, pix_tile_max=None,
@@ -204,21 +228,9 @@ def dcnv3_pallas(x, offset, mask, kernel=3, stride=1, pad=1, dilation=1,
     """
     n, h, w_sp, c_total = x.shape
     _, h_out, w_out, _ = offset.shape
-    p_taps = kernel * kernel
-    # auto-size (pix_tile, tap_chunk) so the stage-A scratch
-    # (gc*W_in, tap_chunk*pix_tile) f32 stays inside the VMEM budget
-    gc_ = c_total // group
-    rows_ = gc_ * (w_sp + 2 * pad)
-    q_pix_ = h_out * w_out
-    elem_bytes = 2 if compute_dtype == jnp.bfloat16 else 4
-    if pix_tile_max is None or tap_chunk is None:
-        lanes_budget = max(128, scratch_budget_bytes // (rows_ * elem_bytes))
-        if pix_tile_max is None:
-            pix_tile_max = min(256, max(128, lanes_budget), q_pix_)
-        if tap_chunk is None:
-            tap_chunk = min(p_taps,
-                            max(1, lanes_budget // min(pix_tile_max,
-                                                       q_pix_)))
+    tap_chunk, pix_tile_max = auto_tiles(
+        x.shape, offset.shape, kernel, pad, group, compute_dtype,
+        scratch_budget_bytes, tap_chunk, pix_tile_max)
     img_t, aux, dims = _prepare_inputs(
         x.astype(jnp.float32), offset.astype(jnp.float32),
         mask.astype(jnp.float32), kernel, stride, pad, dilation, group,
@@ -278,13 +290,39 @@ def _fwd(x, offset, mask, kernel, stride, pad, dilation, group,
 
 
 def _bwd(kernel, stride, pad, dilation, group, offset_scale, residuals, g):
+    from givepose_tpu.ops.dcnv3_pallas_bwd import dcnv3_pallas_bwd
+
     x, offset, mask = residuals
-    _, vjp = jax.vjp(
-        lambda a, b, c: dcnv3_core(a, b, c, kernel=kernel, stride=stride,
-                                   pad=pad, dilation=dilation, group=group,
-                                   offset_scale=offset_scale),
-        x, offset, mask)
-    return vjp(g)
+    n, h, w_sp, c_total = x.shape
+    _, h_out, w_out, _ = offset.shape
+    tap_chunk, pix_tile_max = auto_tiles(
+        x.shape, offset.shape, kernel, pad, group, jnp.float32,
+        6 * 1024 * 1024)
+
+    def prep(a, b, c):
+        img_t, aux, _ = _prepare_inputs(
+            a.astype(jnp.float32), b.astype(jnp.float32),
+            c.astype(jnp.float32), kernel, stride, pad, dilation, group,
+            offset_scale, pix_tile_max=pix_tile_max)
+        return img_t, aux
+
+    (img_t, aux), vjp_prep = jax.vjp(prep, x, offset, mask)
+    _, _, dims = _prepare_inputs(
+        x.astype(jnp.float32), offset.astype(jnp.float32),
+        mask.astype(jnp.float32), kernel, stride, pad, dilation, group,
+        offset_scale, pix_tile_max=pix_tile_max)
+
+    # upstream grad NHWC -> kernel layout (N, G, gc, Q_pad)
+    gc = dims["gc"]
+    q_pix = dims["q_pix"]
+    q_pad = dims["n_tiles"] * dims["pix_tile"]
+    gk = (g.astype(jnp.float32)
+          .reshape(n, q_pix, group, gc).transpose(0, 2, 3, 1))
+    gk = jnp.pad(gk, ((0, 0), (0, 0), (0, 0), (0, q_pad - q_pix)))
+
+    d_img_t, d_aux = dcnv3_pallas_bwd(img_t, aux, gk, dims,
+                                      tap_chunk=tap_chunk)
+    return vjp_prep((d_img_t, d_aux))
 
 
 dcnv3_fast.defvjp(_fwd, _bwd)

@@ -291,3 +291,56 @@ class TestDCNv3PallasBf16:
         # bf16 stage compute: ~1e-2 absolute on unit-scale activations
         assert np.abs(out - ref).max() < 0.05
         assert np.abs(out - ref).mean() < 0.005
+
+
+class TestDCNv3PallasBackward:
+    def test_bwd_kernel_matches_core_autodiff(self, rng):
+        """Interpret-mode backward kernel grads == XLA core autodiff
+        (analogue of the reference's CUDA backward gradcheck)."""
+        from givepose_tpu.ops.dcnv3_pallas import (_prepare_inputs,
+                                                   auto_tiles)
+        from givepose_tpu.ops.dcnv3_pallas_bwd import dcnv3_pallas_bwd
+
+        n, h, c, g, stride, p, pad = 2, 12, 32, 4, 2, 9, 1
+        ho = (h + 2 * pad - 3) // stride + 1
+        x = rng.normal(size=(n, h, h, c)).astype(np.float32)
+        off = (rng.normal(size=(n, ho, ho, g * p * 2)) * 1.5
+               ).astype(np.float32)
+        logits = rng.normal(size=(n, ho, ho, g, p))
+        m = (np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+             ).reshape(n, ho, ho, -1).astype(np.float32)
+        gup = rng.normal(size=(n, ho, ho, c)).astype(np.float32)
+
+        def loss_core(a, b, c_):
+            return jnp.sum(dcnv3_core(a, b, c_, stride=stride,
+                                      group=g) * gup)
+
+        refs = jax.grad(loss_core, argnums=(0, 1, 2))(
+            jnp.asarray(x), jnp.asarray(off), jnp.asarray(m))
+
+        tap_chunk, ptm = auto_tiles(x.shape, off.shape, 3, pad, g,
+                                    jnp.float32, 6 << 20)
+
+        def prep(a, b, c_):
+            img_t, aux, _ = _prepare_inputs(a, b, c_, 3, stride, pad, 1,
+                                            g, 1.0, pix_tile_max=ptm)
+            return img_t, aux
+
+        (img_t, aux), vjp_prep = jax.vjp(prep, jnp.asarray(x),
+                                         jnp.asarray(off), jnp.asarray(m))
+        _, _, dims = _prepare_inputs(jnp.asarray(x), jnp.asarray(off),
+                                     jnp.asarray(m), 3, stride, pad, 1, g,
+                                     1.0, pix_tile_max=ptm)
+        gc = dims["gc"]
+        q_pix = dims["q_pix"]
+        q_pad = dims["n_tiles"] * dims["pix_tile"]
+        gk = jnp.asarray(gup).reshape(n, q_pix, g, gc).transpose(0, 2, 3,
+                                                                 1)
+        gk = jnp.pad(gk, ((0, 0), (0, 0), (0, 0), (0, q_pad - q_pix)))
+        d_img_t, d_aux = dcnv3_pallas_bwd(img_t, aux, gk, dims,
+                                          tap_chunk=tap_chunk,
+                                          interpret=True)
+        outs = vjp_prep((d_img_t, d_aux))
+        for got, ref in zip(outs, refs):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=2e-5)
