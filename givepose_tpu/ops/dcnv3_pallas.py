@@ -44,8 +44,14 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _prepare_inputs(x, offset, mask, kernel, stride, pad, dilation, group,
-                    offset_scale, pix_tile_max=128):
-    """XLA-side prep: transposed slab + per-query integer/frac coords."""
+                    offset_scale, pix_tile_max=128, k_major=False,
+                    k_align=128):
+    """XLA-side prep: transposed slab + per-query integer/frac coords.
+
+    ``k_major=False`` lays the slab out as (rows=(c,x), y-K) — used by the
+    backward kernel; ``k_major=True`` puts K (the y axis) on sublanes with
+    only ``k_align`` padding, halving the forward stage-A MXU waste
+    (K 66 -> 72 instead of 128)."""
     n, h, w_sp, c_total = x.shape
     gc = c_total // group
     p = kernel * kernel
@@ -54,13 +60,22 @@ def _prepare_inputs(x, offset, mask, kernel, stride, pad, dilation, group,
     q_pix = h_out * w_out
 
     x_pad = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
-    # Img_T[n, g, c*W_in + x, y]  (c-major rows so the x-weight tile from
-    # pltpu.repeat lines up; y padded to a 128 lane-K for the MXU)
-    h_pad = _round_up(h_in, 128)
-    img_t = (x_pad.reshape(n, h_in, w_in, group, gc)
-             .transpose(0, 3, 4, 2, 1)          # (n, g, gc, W_in, H_in)
-             .reshape(n, group, gc * w_in, h_in))
-    img_t = jnp.pad(img_t, ((0, 0), (0, 0), (0, 0), (0, h_pad - h_in)))
+    h_pad = _round_up(h_in, k_align)
+    if k_major:
+        # Img_K[n, g, y, c*W_in + x]
+        img_t = (x_pad.reshape(n, h_in, w_in, group, gc)
+                 .transpose(0, 3, 1, 4, 2)      # (n, g, H_in, gc, W_in)
+                 .reshape(n, group, h_in, gc * w_in))
+        img_t = jnp.pad(img_t,
+                        ((0, 0), (0, 0), (0, h_pad - h_in), (0, 0)))
+    else:
+        # Img_T[n, g, c*W_in + x, y] (c-major rows so the x-weight tile
+        # from pltpu.repeat lines up)
+        img_t = (x_pad.reshape(n, h_in, w_in, group, gc)
+                 .transpose(0, 3, 4, 2, 1)      # (n, g, gc, W_in, H_in)
+                 .reshape(n, group, gc * w_in, h_in))
+        img_t = jnp.pad(img_t, ((0, 0), (0, 0), (0, 0),
+                                (0, h_pad - h_in)))
 
     loc = dcnv3_sampling_locations(offset, h_in, w_in, kernel, stride,
                                    dilation, group, offset_scale)
@@ -128,7 +143,7 @@ def _dcnv3_kernel(img_ref, aux_ref, o_ref, rmix_ref, *, dims, tap_chunk,
 
     rows = gc * w_in
     cdt = compute_dtype
-    img = img_ref[0, 0].astype(cdt)          # (gc*W_in, H_pad)
+    img = img_ref[0, 0].astype(cdt)          # (H_pad-K, gc*W_in) k-major
     acc = jnp.zeros((gc, t), jnp.float32)
 
     # static segment-sum matrices (Mosaic reshapes across tiles are
@@ -159,9 +174,11 @@ def _dcnv3_kernel(img_ref, aux_ref, o_ref, rmix_ref, *, dims, tap_chunk,
         eyt = (jnp.where(iota_y == y0a, wy0, 0.0)
                + jnp.where(iota_y == y0b, wy1, 0.0)).astype(cdt)
 
-        # stage A: y-interpolation on the MXU (f32 accumulation)
-        rmix_ref[:, :lanes] = jnp.dot(
-            img, eyt, preferred_element_type=jnp.float32).astype(cdt)
+        # stage A: y-interpolation on the MXU (f32 accumulation);
+        # contraction over K (dim 0 of both) keeps K at 72 not 128
+        rmix_ref[:, :lanes] = jax.lax.dot_general(
+            img, eyt, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(cdt)
 
         # build Wx (W_in, lanes) 2-hot x weights (mask folded in), tile
         # across channels (c-major rows -> pltpu.repeat tile semantics)
@@ -231,10 +248,12 @@ def dcnv3_pallas(x, offset, mask, kernel=3, stride=1, pad=1, dilation=1,
     tap_chunk, pix_tile_max = auto_tiles(
         x.shape, offset.shape, kernel, pad, group, compute_dtype,
         scratch_budget_bytes, tap_chunk, pix_tile_max)
+    k_align = 16 if compute_dtype == jnp.bfloat16 else 8
     img_t, aux, dims = _prepare_inputs(
         x.astype(jnp.float32), offset.astype(jnp.float32),
         mask.astype(jnp.float32), kernel, stride, pad, dilation, group,
-        offset_scale, pix_tile_max=pix_tile_max)
+        offset_scale, pix_tile_max=pix_tile_max, k_major=True,
+        k_align=k_align)
     gc = dims["gc"]
     p = dims["p"]
     t = dims["pix_tile"]
@@ -246,7 +265,7 @@ def dcnv3_pallas(x, offset, mask, kernel=3, stride=1, pad=1, dilation=1,
                           compute_dtype=compute_dtype),
         grid=(n, group, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, 1, rows, dims["h_pad"]),
+            pl.BlockSpec((1, 1, dims["h_pad"], rows),
                          lambda i, g, q: (i, g, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 8, p, t),
@@ -303,14 +322,16 @@ def _bwd(kernel, stride, pad, dilation, group, offset_scale, residuals, g):
         img_t, aux, _ = _prepare_inputs(
             a.astype(jnp.float32), b.astype(jnp.float32),
             c.astype(jnp.float32), kernel, stride, pad, dilation, group,
-            offset_scale, pix_tile_max=pix_tile_max)
+            offset_scale, pix_tile_max=pix_tile_max, k_major=False,
+            k_align=128)
         return img_t, aux
 
     (img_t, aux), vjp_prep = jax.vjp(prep, x, offset, mask)
     _, _, dims = _prepare_inputs(
         x.astype(jnp.float32), offset.astype(jnp.float32),
         mask.astype(jnp.float32), kernel, stride, pad, dilation, group,
-        offset_scale, pix_tile_max=pix_tile_max)
+        offset_scale, pix_tile_max=pix_tile_max, k_major=False,
+        k_align=128)
 
     # upstream grad NHWC -> kernel layout (N, G, gc, Q_pad)
     gc = dims["gc"]
