@@ -5,4 +5,5 @@ from givepose_tpu.losses.pose_loss import (
     soft_label_cross_entropy,
     laplacian_aleatoric_loss,
     gaussian_aleatoric_loss,
+    backbone_mask_loss,
 )

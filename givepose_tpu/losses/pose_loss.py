@@ -182,3 +182,11 @@ def gaussian_aleatoric_loss(pred, target, log_variance):
     loss = (0.5 * jnp.exp(-log_variance) * jnp.abs(pred - target) ** 2
             + 0.5 * log_variance)
     return jnp.mean(loss)
+
+
+def backbone_mask_loss(pred_mask_logits, gt_mask):
+    """Reference losses/backbone_loss.py:8-25: BCE on the predicted
+    attention mask (unused on the default path; kept for parity)."""
+    logp = jax.nn.log_sigmoid(pred_mask_logits)
+    logn = jax.nn.log_sigmoid(-pred_mask_logits)
+    return -jnp.mean(gt_mask * logp + (1.0 - gt_mask) * logn)

@@ -184,3 +184,12 @@ class TestAuxLosses:
         assert np.isfinite(float(laplacian_aleatoric_loss(pred, tgt, logv)))
         assert np.isfinite(float(gaussian_aleatoric_loss(pred, tgt,
                                                          jnp.zeros((4, 3)))))
+
+    def test_backbone_mask_loss(self, rng):
+        from givepose_tpu.losses import backbone_mask_loss
+        gt = jnp.asarray((rng.uniform(size=(2, 8, 8, 1)) > 0.5),
+                         jnp.float32)
+        # perfect logits -> low loss; inverted -> high
+        good = (gt * 2 - 1) * 20.0
+        assert float(backbone_mask_loss(good, gt)) < 1e-6
+        assert float(backbone_mask_loss(-good, gt)) > 5.0

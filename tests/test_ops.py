@@ -137,3 +137,32 @@ class TestCoordGrid:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+class TestPointSample:
+    def test_backprojection_and_sampling(self, rng):
+        from givepose_tpu.ops.point_sample import depth_to_sampled_pc
+        b, h, w = 2, 32, 32
+        K = jnp.tile(jnp.array([[100.0, 0, 16], [0, 100.0, 16],
+                                [0, 0, 1]]), (b, 1, 1))
+        depth = jnp.ones((b, h, w)) * 1.5
+        mask = np.zeros((b, h, w), np.float32)
+        mask[:, 8:24, 8:24] = 1.0
+        pts, valid = depth_to_sampled_pc(jax.random.PRNGKey(0), depth, K,
+                                         jnp.asarray(mask), n_sample=128)
+        assert pts.shape == (b, 128, 3)
+        assert np.all(np.asarray(valid) == 1.0)   # enough valid points
+        np.testing.assert_allclose(np.asarray(pts[..., 2]), 1.5)
+        # all sampled points back-project inside the mask window
+        x = np.asarray(pts[..., 0]) / 1.5 * 100 + 16
+        assert x.min() >= 7.5 and x.max() <= 24.5
+
+    def test_insufficient_points_masked(self, rng):
+        from givepose_tpu.ops.point_sample import depth_to_sampled_pc
+        K = jnp.array([[100.0, 0, 8], [0, 100.0, 8], [0, 0, 1]])[None]
+        depth = jnp.zeros((1, 16, 16))
+        depth = depth.at[0, 5, 5].set(2.0)
+        mask = jnp.ones((1, 16, 16))
+        pts, valid = depth_to_sampled_pc(jax.random.PRNGKey(0), depth, K,
+                                         mask, n_sample=8)
+        assert float(valid.sum()) == 1.0
