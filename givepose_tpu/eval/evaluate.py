@@ -88,8 +88,14 @@ def run_inference(reader, model, variables, scale_model, scale_variables,
             resize_full=cfg.model.resize_full, per_obj_id=per_obj_id)
         out = dict(det)
         if built is None:
+            # keep ALL pred_* keys consistent at length 0 (the reference
+            # builds one coherent empty dict, evaluation/evaluate.py:105-108;
+            # leaving class_ids at full length crashes the matcher)
             out["pred_RTs"] = np.zeros((0, 4, 4))
             out["pred_scales"] = np.zeros((0, 3))
+            out["pred_class_ids"] = np.zeros((0,), np.int32)
+            out["pred_scores"] = np.zeros((0,), np.float32)
+            out["pred_bboxes"] = np.zeros((0, 4), np.float32)
             results.append(out)
             continue
         batch, keep = built

@@ -181,7 +181,8 @@ def build_instance_batch(image: np.ndarray, det: dict, cam_k: np.ndarray,
     else:
         full = img_f
     full = (full / 255.0 - IMG_MEAN) / IMG_STD
-    b["full_img"] = np.tile(full[None], (max_instances, 1, 1, 1))
+    # one shared copy; ScaleNet broadcasts the tower feature on device
+    b["full_img"] = full[None]
     return b, keep
 
 

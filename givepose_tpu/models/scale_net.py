@@ -27,7 +27,7 @@ class ScaleNet(nn.Module):
     @nn.compact
     def __call__(self, batch: dict, train: bool = False) -> jnp.ndarray:
         roi = batch["roi_img"]            # (B,256,256,3) NHWC
-        full = batch["full_img"]          # (B,256,256,3)
+        full = batch["full_img"]          # (B,256,256,3) or (1,256,256,3)
         one_hot = batch["one_hot"].astype(jnp.float32)
 
         feat_roi = MobileNetV3Small(dtype=self.dtype,
@@ -36,6 +36,12 @@ class ScaleNet(nn.Module):
         feat_full = MobileNetV3Small(dtype=self.dtype,
                                      name="feat_encoder_full")(
             full, train=train)
+        if full.shape[0] == 1 and roi.shape[0] != 1:
+            # eval feeds one shared full image per instance batch; run the
+            # tower once and broadcast (saves 24x memory AND compute vs the
+            # per-slot tiling the reference does with its ragged batches)
+            feat_full = jnp.broadcast_to(
+                feat_full, (roi.shape[0],) + feat_full.shape[1:])
         feat_roi = nn.Dropout(0.2, deterministic=not train)(feat_roi)
         feat_full = nn.Dropout(0.2, deterministic=not train)(feat_full)
         feat = jnp.concatenate([feat_roi, feat_full],

@@ -43,6 +43,22 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _static_dims(x_shape, offset_shape, kernel, pad, group,
+                 pix_tile_max=128, k_align=128):
+    """Shape-only version of the dims dict ``_prepare_inputs`` returns."""
+    n, h, w_sp, c_total = x_shape
+    _, h_out, w_out, _ = offset_shape
+    gc = c_total // group
+    p = kernel * kernel
+    h_in, w_in = h + 2 * pad, w_sp + 2 * pad
+    q_pix = h_out * w_out
+    pix_tile = min(pix_tile_max, q_pix)
+    n_tiles = -(-q_pix // pix_tile)
+    return dict(gc=gc, p=p, w_in=w_in, h_pad=_round_up(h_in, k_align),
+                q_pix=q_pix, pix_tile=pix_tile, n_tiles=n_tiles,
+                h_out=h_out, w_out=w_out, group=group)
+
+
 def _prepare_inputs(x, offset, mask, kernel, stride, pad, dilation, group,
                     offset_scale, pix_tile_max=128, k_major=False,
                     k_align=128):
@@ -118,9 +134,8 @@ def _prepare_inputs(x, offset, mask, kernel, stride, pad, dilation, group,
            for a in (y0a, y0b, wy0, wy1, x0a, x0b, wx0, wx1)]
     aux = jnp.stack(aux, axis=2)   # (N, G, 8, P, Q_pad)
 
-    dims = dict(gc=gc, p=p, w_in=w_in, h_pad=h_pad, q_pix=q_pix,
-                pix_tile=pix_tile, n_tiles=n_tiles, h_out=h_out,
-                w_out=w_out, group=group)
+    dims = _static_dims(x.shape, offset.shape, kernel, pad, group,
+                        pix_tile_max=pix_tile_max, k_align=k_align)
     return img_t, aux, dims
 
 
@@ -327,11 +342,8 @@ def _bwd(kernel, stride, pad, dilation, group, offset_scale, residuals, g):
         return img_t, aux
 
     (img_t, aux), vjp_prep = jax.vjp(prep, x, offset, mask)
-    _, _, dims = _prepare_inputs(
-        x.astype(jnp.float32), offset.astype(jnp.float32),
-        mask.astype(jnp.float32), kernel, stride, pad, dilation, group,
-        offset_scale, pix_tile_max=pix_tile_max, k_major=False,
-        k_align=128)
+    dims = _static_dims(x.shape, offset.shape, kernel, pad, group,
+                        pix_tile_max=pix_tile_max, k_align=128)
 
     # upstream grad NHWC -> kernel layout (N, G, gc, Q_pad)
     gc = dims["gc"]

@@ -67,6 +67,60 @@ class TestEvalReader:
             assert pose_aps[cid, 0, 0] == 1.0
 
 
+class TestPerObjEmptyBatch:
+    def test_other_class_only_images_give_finite_map(self, synth_eval,
+                                                     tmp_path):
+        """Regression: an image whose detections are all of OTHER classes
+        must yield a consistent all-empty pred dict (length 0 for every
+        pred_* key) and a finite mAP, not an IndexError in the matcher
+        (reference keeps one coherent empty dict, evaluate.py:105-108)."""
+        from givepose_tpu.eval.metrics import SYNSET_NAMES
+        data_dir, _ = synth_eval
+        reader = NocsEvalReader("Real", data_dir)
+        per_img_cls = []
+        for i in range(len(reader)):
+            _, det, _ = reader.read(i)
+            per_img_cls.append({int(c) for c in det["pred_class_ids"]})
+        # pick a class present in >=1 image if possible (exercises mixed
+        # empty/non-empty results); otherwise any class misses everywhere
+        all_cls = set().union(*per_img_cls)
+        target = next((c for c in all_cls
+                       if any(c not in s for s in per_img_cls)),
+                      next(c for c in range(1, 7) if c not in all_cls))
+        assert any(target not in s for s in per_img_cls)
+
+        cfg = Config(
+            data=DataConfig(img_size=64, out_res=16,
+                            per_obj=SYNSET_NAMES[target]),
+            model=ModelConfig(compute_dtype="float32"),
+            eval=EvalConfig(max_instances=4),
+        )
+        model = PoseNet(cfg=cfg.model, backbone_variant="tiny")
+        scale_model = ScaleNet()
+        image, det, cam_k = reader.read(0)
+        batch, _ = build_instance_batch(
+            image, det, cam_k, "Real", img_size=64, out_res=16,
+            max_instances=4)
+        import jax.numpy as jnp
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        variables = model.init(jax.random.PRNGKey(0), jb)
+        sn_vars = scale_model.init(jax.random.PRNGKey(1), jb)
+
+        results = run_inference(reader, model, variables, scale_model,
+                                sn_vars, cfg)
+        assert len(results) == 3
+        empties = [r for r in results if len(r["pred_RTs"]) == 0]
+        assert empties, "fixture must contain an other-class-only image"
+        for r in empties:
+            for key in ("pred_class_ids", "pred_scores", "pred_bboxes",
+                        "pred_scales"):
+                assert len(r[key]) == 0, key
+
+        summary = evaluate_results(results, cfg, log=lambda *_: None)
+        for v in summary["absolute"].values():
+            assert np.isfinite(v)
+
+
 class TestEvalDriverSmoke:
     def test_random_model_runs_end_to_end(self, synth_eval, tmp_path):
         data_dir, _ = synth_eval
