@@ -67,6 +67,10 @@ class ModelConfig:
     # numerics
     compute_dtype: str = "bfloat16"       # bfloat16 | float32 (matmul/conv dtype)
     param_dtype: str = "float32"
+    # torch/timm use erf GELU; tanh GELU is ~20 ms/fwd cheaper on TPU at
+    # ConvNeXt-B scale and indistinguishable when training from scratch.
+    # Set True when loading converted torch weights (exact parity).
+    gelu_exact: bool = False
 
 
 @dataclass(frozen=True)

@@ -197,11 +197,16 @@ def match_degree_cm(overlaps, pred_classes, gt_classes, degree_thrs,
 
 
 def voc_ap(pred_match, pred_scores, gt_match) -> float:
-    """VOC-style AP (compute_ap_from_matches_scores :336-362)."""
+    """VOC-style AP (compute_ap_from_matches_scores :336-362).
+
+    Keeps the reference's NaN semantics: a class with predictions but zero
+    ground truth anywhere divides by len(gt_match)==0 and yields NaN
+    (which then propagates into the class mean), not 0."""
     order = np.argsort(pred_scores)[::-1]
     pm = pred_match[order]
     precisions = np.cumsum(pm > -1) / (np.arange(len(pm)) + 1)
-    recalls = np.cumsum(pm > -1).astype(np.float64) / max(len(gt_match), 1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        recalls = np.cumsum(pm > -1).astype(np.float64) / len(gt_match)
     precisions = np.concatenate([[0], precisions, [0]])
     recalls = np.concatenate([[0], recalls, [1]])
     for i in range(len(precisions) - 2, -1, -1):

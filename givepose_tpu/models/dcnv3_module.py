@@ -40,6 +40,7 @@ class DCNv3(nn.Module):
     group: int = 4
     offset_scale: float = 1.0
     impl: str = "auto"          # auto | pallas | xla
+    gelu_exact: bool = False    # erf GELU in the offset branch (torch parity)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -59,7 +60,7 @@ class DCNv3(nn.Module):
                      name="dw_conv")(x)
         x1 = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="dw_norm")(
             x1.astype(jnp.float32)).astype(self.dtype)
-        x1 = nn.gelu(x1, approximate=True)
+        x1 = nn.gelu(x1, approximate=not self.gelu_exact)
         if self.stride > 1:
             x1 = x1[:, ::self.stride, ::self.stride, :]
 
@@ -108,6 +109,7 @@ class DCNv3Conv(nn.Module):
     stride: int = 1
     group: int = 4
     impl: str = "auto"
+    gelu_exact: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -116,4 +118,5 @@ class DCNv3Conv(nn.Module):
                     dtype=self.dtype, param_dtype=jnp.float32,
                     name="proj")(x)
         return DCNv3(self.features, stride=self.stride, group=self.group,
-                     impl=self.impl, dtype=self.dtype, name="dcnv3")(y)
+                     impl=self.impl, gelu_exact=self.gelu_exact,
+                     dtype=self.dtype, name="dcnv3")(y)

@@ -74,6 +74,7 @@ class MAPEncoder(nn.Module):
     num_stride2_layers: int = 3
     use_dcn: str = "dcnv3"
     dcn_impl: str = "auto"
+    gelu_exact: bool = False
     act: str = "relu"
     dtype: Dtype = jnp.float32
 
@@ -85,6 +86,7 @@ class MAPEncoder(nn.Module):
                         else self.featdim)
             if self.use_dcn == "dcnv3":
                 y = DCNv3Conv(features, stride=2, impl=self.dcn_impl,
+                              gelu_exact=self.gelu_exact,
                               dtype=self.dtype, name=f"dcn{i}")(y)
             else:
                 y = nn.Conv(features, (3, 3), strides=(2, 2),

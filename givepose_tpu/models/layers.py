@@ -127,10 +127,13 @@ class DeconvModule(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        # torch ConvTranspose2d(k=3,s=2,p=1,output_p=1) doubles H,W;
-        # flax ConvTranspose with SAME padding and stride 2 matches.
+        # torch ConvTranspose2d(k=3,s=2,p=1,output_p=1) doubles H,W; the
+        # exact equivalent is transpose_kernel=True with lax padding
+        # (k-1-p, k-1-p+output_p) = (1,2) — verified to 1e-7 vs torch
+        # (kernel layout (kh,kw,out,in), torch weight.transpose(2,3,1,0)).
         y = nn.ConvTranspose(self.features, (3, 3), strides=(2, 2),
-                             padding="SAME", use_bias=False,
+                             padding=[(1, 2), (1, 2)], use_bias=False,
+                             transpose_kernel=True,
                              kernel_init=normal_init(0.001),
                              dtype=self.dtype, param_dtype=jnp.float32)(x)
         y = GroupNorm32(dtype=self.dtype)(y)

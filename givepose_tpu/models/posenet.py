@@ -38,7 +38,11 @@ Dtype = Any
 
 class PoseNet(nn.Module):
     cfg: ModelConfig = ModelConfig()
-    backbone_variant: str = "base"     # base | tiny (tests)
+    backbone_variant: str = "base"     # base | tiny (tests) | custom
+    # used when backbone_variant == "custom" (differential tests against
+    # the torch reference use a shrunk stride-32 backbone)
+    backbone_depths: tuple = (3, 3, 27, 3)
+    backbone_dims: tuple = (128, 256, 512, 1024)
 
     @nn.compact
     def __call__(self, batch: dict, train: bool = False,
@@ -47,10 +51,19 @@ class PoseNet(nn.Module):
             else jnp.float32
         img = batch["roi_img"].astype(dtype)           # (B,256,256,3)
 
+        gelu = "gelu_exact" if self.cfg.gelu_exact else "gelu"
         if self.backbone_variant == "base":
-            backbone = convnext_base(dtype=dtype)
+            backbone = convnext_base(dtype=dtype,
+                                     gelu_exact=self.cfg.gelu_exact)
+        elif self.backbone_variant == "custom":
+            from givepose_tpu.models.convnext import ConvNeXt
+            backbone = ConvNeXt(depths=self.backbone_depths,
+                                dims=self.backbone_dims,
+                                gelu_exact=self.cfg.gelu_exact,
+                                dtype=dtype)
         else:
-            backbone = convnext_tiny(dtype=dtype)
+            backbone = convnext_tiny(dtype=dtype,
+                                     gelu_exact=self.cfg.gelu_exact)
         feat = backbone(img, deterministic=not train)  # (B,8,8,1024)
 
         size_resid = SizeHead(feat_dim=self.cfg.feat_ts,
@@ -58,12 +71,15 @@ class PoseNet(nn.Module):
                               dtype=dtype, name="size_head")(
             feat, deterministic=not train)
 
-        cx, cy, cz = TopDownXyzHead(dtype=dtype, name="xyz_nocs_head")(feat)
+        cx, cy, cz = TopDownXyzHead(act=gelu, dtype=dtype,
+                                    name="xyz_nocs_head")(feat)
         coor_nocs = jnp.concatenate([cx, cy, cz], axis=-1)  # (B,64,64,3) f32
 
         if self.cfg.nocsmap_encoder == "conv":
             nocs_feat = MAPEncoder(use_dcn=self.cfg.use_dcn,
-                                   dcn_impl=self.cfg.dcn_impl, dtype=dtype,
+                                   dcn_impl=self.cfg.dcn_impl,
+                                   gelu_exact=self.cfg.gelu_exact,
+                                   dtype=dtype,
                                    name="nocs_encoder")(
                 coor_nocs.astype(dtype))
         elif self.cfg.nocsmap_encoder == "att":
@@ -79,7 +95,7 @@ class PoseNet(nn.Module):
                           name="feat_reducer")(feat)
         feat_cat = jnp.concatenate([feat256, nocs_feat.astype(dtype)],
                                    axis=-1)            # (B,8,8,512)
-        ix, iy, iz = TopDownXyzHead(dtype=dtype,
+        ix, iy, iz = TopDownXyzHead(act=gelu, dtype=dtype,
                                     name="xyz_deform_head")(feat_cat)
         coor_ivfc = jnp.concatenate([ix, iy, iz], axis=-1)
 
