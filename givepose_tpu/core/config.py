@@ -54,6 +54,11 @@ class ModelConfig:
     t_type: str = "site"                  # site | center
     z_type: str = "REL"                   # REL | ABS
     flat_op: str = "flatten"              # flatten | avg | avg-max | avg-max-min
+    # DropBlock on MAPEncoder / ConvPnPNet inputs (reference
+    # conv_pnp_net.py:32-33,218-219; rate ramps 0->drop_prob over 5000
+    # steps via LinearScheduler — the train step supplies the ramped rate)
+    drop_prob: float = 0.0
+    dropblock_size: int = 5
     size_head_out_dim: int = 3
     pose_head_featdim: int = 128
     feat_ts: int = 128                    # size-head feature channels
@@ -131,6 +136,10 @@ class EvalConfig:
     eval_size: bool = True
     detection_dir: str = ""               # DualPoseNet detection pkl root
     max_instances: int = 24               # pad-to-max for static shapes at eval
+    # depth-assisted eval: fit NOCS->camera similarity with RANSAC-Umeyama
+    # from the depth crop instead of the direct pose head (reference
+    # tools/umeyama.py pose_from_umeyama, an optional path)
+    use_umeyama: bool = False
 
 
 @dataclass(frozen=True)
@@ -177,6 +186,8 @@ _FLAG_ALIASES: dict[str, tuple[str, str]] = {
     "t_type": ("model", "t_type"),
     "z_type": ("model", "z_type"),
     "flat_op": ("model", "flat_op"),
+    "drop_prob": ("model", "drop_prob"),
+    "dropblock_size": ("model", "dropblock_size"),
     "size_head_out_dim": ("model", "size_head_out_dim"),
     "pose_head_featdim": ("model", "pose_head_featdim"),
     "feat_ts": ("model", "feat_ts"),
@@ -223,6 +234,7 @@ _FLAG_ALIASES: dict[str, tuple[str, str]] = {
     "use_allo": ("eval", "use_allo"),
     "eval_size": ("eval", "eval_size"),
     "result_dir": ("eval", "result_dir"),
+    "use_umeyama": ("eval", "use_umeyama"),
 }
 
 

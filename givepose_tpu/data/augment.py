@@ -16,10 +16,10 @@ PIL semantics (matching Pillow's ImageEnhance):
   color:      blend with the grayscale image
   blend(a, b, f) = b + f * (a - b);  grayscale = ITU-R 601-2 luma.
 
-The random ORDER of the four ops is approximated by a random permutation
-drawn per batch (the reference draws per sample); factor distributions are
-identical.  Mask deformation matches defor_2D
-(datasets/data_augmentation.py:11-33).
+The random ORDER of the four ops is drawn PER SAMPLE (matching the
+reference's per-image imgaug random_order=True) via per-row argsort of
+uniform ranks; factor distributions are identical.  Mask deformation
+matches defor_2D (datasets/data_augmentation.py:11-33).
 """
 
 from __future__ import annotations
@@ -78,7 +78,9 @@ def color_augment(key, img, prob: float = 0.8):
         (_brightness, 0.5, (0.5, 1.5), keys[5], keys[6]),
         (_color, 0.3, (0.0, 3.0), keys[7], keys[8]),
     ]
-    order = jax.random.permutation(keys[9], 4)
+    # per-sample random order: argsort of uniform ranks gives an
+    # independent uniform permutation per row
+    order = jnp.argsort(jax.random.uniform(keys[9], (b, 4)), axis=1)
 
     out = img
     for slot in range(4):
@@ -86,7 +88,7 @@ def color_augment(key, img, prob: float = 0.8):
             factor = jax.random.uniform(kf, (b,), minval=lo, maxval=hi)
             active = ((jax.random.uniform(kp, (b,)) < p)
                       & apply_any
-                      & (order[slot] == op_idx))
+                      & (order[:, slot] == op_idx))
             cand = fn(out, factor)
             out = jnp.where(active[:, None, None, None], cand, out)
     return jnp.clip(out, 0.0, 255.0)

@@ -27,9 +27,21 @@ class EpochSampler:
             n_repeat = int(needed
                            // ((self.syn_ratio + 1) * self.real_len)) + 1
             n_cam = int(self.syn_ratio * n_repeat * self.real_len)
-            n_cam = min(n_cam, self.camera_len)
-            cam = self.rng.choice(self.camera_len, size=n_cam,
-                                  replace=False)
+            # reference: random.sample(camera_indices, n_cam) — without
+            # replacement, and it CRASHES when n_cam > camera_len
+            # (Real-heavy configs).  We keep the requested ratio instead:
+            # full without-replacement passes plus a remainder sample.
+            parts = []
+            remaining = n_cam
+            while remaining >= self.camera_len:
+                parts.append(self.rng.permutation(self.camera_len))
+                remaining -= self.camera_len
+            if remaining:
+                parts.append(self.rng.choice(self.camera_len,
+                                             size=remaining,
+                                             replace=False))
+            cam = (np.concatenate(parts) if parts
+                   else np.empty(0, dtype=np.int64))
             real = np.arange(self.camera_len,
                              self.camera_len + self.real_len)
             batch = np.concatenate([cam, real])

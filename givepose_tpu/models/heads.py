@@ -22,6 +22,7 @@ import flax.linen as nn
 from givepose_tpu.models.layers import (
     ConvModule,
     DeconvModule,
+    DropBlock2D,
     GroupNorm32,
     get_act,
     normal_init,
@@ -76,11 +77,19 @@ class MAPEncoder(nn.Module):
     dcn_impl: str = "auto"
     gelu_exact: bool = False
     act: str = "relu"
+    # DropBlock on the input when drop_prob > 0 (reference
+    # conv_pnp_net.py:326-328); the caller supplies the LinearScheduler-
+    # ramped rate at call time (functional equivalent of .step()).
+    drop_prob: float = 0.0
+    dropblock_size: int = 5
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, dropblock_rate=0.0, deterministic: bool = True):
         y = x
+        if self.drop_prob > 0:
+            y = DropBlock2D(block_size=self.dropblock_size)(
+                y, rate=dropblock_rate, deterministic=deterministic)
         for i in range(self.num_stride2_layers):
             features = (self.outdim if i == self.num_stride2_layers - 1
                         else self.featdim)
@@ -108,10 +117,14 @@ class ConvPnPNet(nn.Module):
     mask_attention_type: str = "none"
     flat_op: str = "flatten"
     act: str = "relu"
+    # see MAPEncoder: reference conv_pnp_net.py:160-162
+    drop_prob: float = 0.0
+    dropblock_size: int = 5
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, coor_feat, mask_attention=None):
+    def __call__(self, coor_feat, mask_attention=None,
+                 dropblock_rate=0.0, deterministic: bool = True):
         x = coor_feat
         if self.mask_attention_type == "mul":
             x = x * mask_attention
@@ -120,6 +133,9 @@ class ConvPnPNet(nn.Module):
         elif self.mask_attention_type != "none":
             raise ValueError(self.mask_attention_type)
 
+        if self.drop_prob > 0:
+            x = DropBlock2D(block_size=self.dropblock_size)(
+                x, rate=dropblock_rate, deterministic=deterministic)
         x = x.astype(self.dtype)
         for i in range(self.num_stride2_layers):
             x = nn.Conv(self.featdim, (3, 3), strides=(2, 2),

@@ -176,13 +176,16 @@ class DropBlock2D(nn.Module):
 
     @nn.compact
     def __call__(self, x, rate: float = 0.0, deterministic: bool = True):
-        if deterministic or rate == 0.0:
+        # rate may be a traced scalar (LinearScheduler ramp inside jit);
+        # only short-circuit on static knowledge
+        if deterministic or (isinstance(rate, (int, float)) and rate == 0.0):
             return x
         n, h, w, c = x.shape
         gamma = (rate / self.block_size ** 2) * (
             (h * w) / ((h - self.block_size + 1) * (w - self.block_size + 1)))
         rng = self.make_rng("dropout")
-        seed_mask = jax.random.bernoulli(rng, gamma, (n, h, w, c))
+        seed_mask = jax.random.bernoulli(rng, jnp.asarray(gamma),
+                                         (n, h, w, c))
         pooled = nn.max_pool(seed_mask.astype(x.dtype),
                              (self.block_size, self.block_size),
                              strides=(1, 1), padding="SAME")

@@ -46,7 +46,7 @@ class PoseNet(nn.Module):
 
     @nn.compact
     def __call__(self, batch: dict, train: bool = False,
-                 is_wild6d: bool = False) -> dict:
+                 is_wild6d: bool = False, dropblock_rate=0.0) -> dict:
         dtype = jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" \
             else jnp.float32
         img = batch["roi_img"].astype(dtype)           # (B,256,256,3)
@@ -79,9 +79,13 @@ class PoseNet(nn.Module):
             nocs_feat = MAPEncoder(use_dcn=self.cfg.use_dcn,
                                    dcn_impl=self.cfg.dcn_impl,
                                    gelu_exact=self.cfg.gelu_exact,
+                                   drop_prob=self.cfg.drop_prob,
+                                   dropblock_size=self.cfg.dropblock_size,
                                    dtype=dtype,
                                    name="nocs_encoder")(
-                coor_nocs.astype(dtype))
+                coor_nocs.astype(dtype),
+                dropblock_rate=dropblock_rate,
+                deterministic=not train)
         elif self.cfg.nocsmap_encoder == "att":
             from givepose_tpu.models.attention import MAPTransformerEncoder
             nocs_feat = MAPTransformerEncoder(dtype=dtype,
@@ -108,8 +112,12 @@ class PoseNet(nn.Module):
             featdim=self.cfg.pose_head_featdim,
             rot_dim=4 if "quat" in self.cfg.r_type else 6,
             mask_attention_type=self.cfg.mask_attention_type,
-            flat_op=self.cfg.flat_op, dtype=dtype,
-            name="pnp_net")(pnp_in, mask_attention=mask_out)
+            flat_op=self.cfg.flat_op,
+            drop_prob=self.cfg.drop_prob,
+            dropblock_size=self.cfg.dropblock_size, dtype=dtype,
+            name="pnp_net")(pnp_in, mask_attention=mask_out,
+                            dropblock_rate=dropblock_rate,
+                            deterministic=not train)
 
         # size: residual + normalized per-category mean size
         # (reference PoseNet.py:199-202)

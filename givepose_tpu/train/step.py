@@ -83,13 +83,21 @@ def make_train_step(model, cfg: Config,
     loss_fn = PoseLossFn(cfg.loss, r_type=cfg.model.r_type)
     optimizer = make_optimizer(cfg)
 
+    # DropBlock LinearScheduler: rate ramps 0 -> drop_prob over 5000
+    # steps (reference conv_pnp_net.py:62-67 nr_steps=5000)
+    drop_prob = getattr(cfg.model, "drop_prob", 0.0)
+
     def step_fn(state: TrainState, batch: dict, rng) -> tuple:
+        db_rate = drop_prob * jnp.minimum(
+            state.step.astype(jnp.float32) / 5000.0, 1.0)
+
         def compute_loss(params):
             variables = {"params": params}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
             out, mutated = model.apply(
                 variables, batch, train=True,
+                dropblock_rate=db_rate,
                 mutable=["batch_stats"], rngs={"dropout": rng})
             losses = loss_fn(out, batch)
             total = sum(losses.values())

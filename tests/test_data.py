@@ -147,6 +147,24 @@ class TestAugment:
         np.testing.assert_allclose(np.asarray(out), np.asarray(img),
                                    atol=1e-4)
 
+    def test_color_augment_order_is_per_sample(self, rng):
+        """The op ORDER must vary across samples within one batch
+        (reference imgaug random_order=True is per image).  brightness
+        and contrast do not commute, so with prob=1 two samples given
+        identical pixels diverge iff their orders differ."""
+        one = rng.uniform(0, 255, (1, 16, 16, 3))
+        img = jnp.asarray(np.tile(one, (64, 1, 1, 1)), jnp.float32)
+        out = np.asarray(color_augment(jax.random.PRNGKey(3), img,
+                                       prob=1.0))
+        # factors are per-sample too, so outputs differ regardless; the
+        # order effect is isolated by recomputing with per-batch order:
+        # instead check the internal order tensor directly
+        keys = jax.random.split(jax.random.PRNGKey(3), 10)
+        order = np.asarray(jnp.argsort(
+            jax.random.uniform(keys[9], (64, 4)), axis=1))
+        assert len({tuple(r) for r in order}) > 1
+        assert not np.allclose(out[0], out[1])
+
     def test_mask_deform_band_only(self, rng):
         mask = np.zeros((1, 32, 32), np.float32)
         mask[0, 8:24, 8:24] = 1.0
@@ -171,6 +189,33 @@ class TestSampler:
         n_cam = int((idx < 900).sum())
         # CAMERA:Real ~ 3:1
         assert 2.0 < n_cam / max(n_real, 1) < 4.5
+
+    def test_ratio_preserved_when_camera_small(self):
+        """Real-heavy regime: syn_ratio*real_len > camera_len.  The
+        reference's random.sample would raise; we keep the requested
+        CAMERA:Real ratio via repeated permutation passes."""
+        s = EpochSampler(camera_len=50, real_len=100, train_size=300,
+                         syn_ratio=3.0, seed=0)
+        s._refill(300)
+        pool = np.asarray(s._pool)
+        n_cam = int((pool < 50).sum())
+        n_real = int((pool >= 50).sum())
+        # page composition: 3*n_repeat*real_len CAMERA + real_len Real
+        assert (n_cam, n_real) == (300, 100)
+        # permutation passes: every CAMERA id drawn exactly 6 times
+        counts = np.bincount(pool[pool < 50], minlength=50)
+        np.testing.assert_array_equal(counts, 6)
+
+    def test_process_local_indices_partition(self):
+        from givepose_tpu.core.mesh import process_local_indices
+        indices = np.arange(64)
+        parts = [process_local_indices(indices, 16, process_id=p,
+                                       num_processes=4)
+                 for p in range(4)]
+        # every global batch must be the concat of the process chunks
+        for t in range(4):
+            got = np.concatenate([p[t * 4:(t + 1) * 4] for p in parts])
+            np.testing.assert_array_equal(got, indices[t * 16:(t + 1) * 16])
 
     def test_pipeline_epoch(self, synth):
         data_dir, ivfc_dir = synth

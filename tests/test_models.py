@@ -149,6 +149,31 @@ class TestPoseNet:
         out = fwd(variables, batch)
         assert np.isfinite(np.asarray(out["trans"])).all()
 
+    def test_dropblock_wiring(self, rng):
+        """drop_prob > 0 must activate DropBlock on the MAPEncoder /
+        ConvPnPNet inputs at train time (reference conv_pnp_net.py:160-162,
+        326-328) and stay inert at eval / rate 0."""
+        cfg = ModelConfig(compute_dtype="float32", drop_prob=0.1)
+        model = PoseNet(cfg=cfg, backbone_variant="tiny")
+        batch = make_batch(rng)
+        variables = model.init(jax.random.PRNGKey(0), batch)
+
+        def fwd(train, rate, seed=0):
+            return model.apply(
+                variables, batch, train=train, dropblock_rate=rate,
+                mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(seed)})[0]
+
+        base = fwd(False, 0.0)
+        dropped = fwd(True, 0.5)
+        # train-time: dropblock zeroes patches -> ivfc maps change
+        assert not np.allclose(np.asarray(base["ivfc_coor"]),
+                               np.asarray(dropped["ivfc_coor"]))
+        # eval-time: rate irrelevant, output deterministic
+        again = fwd(False, 0.9)
+        np.testing.assert_allclose(np.asarray(base["rot_raw"]),
+                                   np.asarray(again["rot_raw"]))
+
     def test_att_encoder_variant(self, rng):
         cfg = ModelConfig(compute_dtype="float32", nocsmap_encoder="att")
         model = PoseNet(cfg=cfg, backbone_variant="tiny")
