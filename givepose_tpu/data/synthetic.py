@@ -58,7 +58,8 @@ def _render_box(rng, im_h, im_w, K, rot, trans, size):
             coord[y, x] = nc
             mask[y, x] = 1
             color[y, x] = ((nc + 0.5) * 255).astype(np.uint8)
-    return color, mask, coord
+    depth_mm = np.where(np.isfinite(depth), depth * 1000.0, 0.0)
+    return color, mask, coord, depth_mm.astype(np.uint16)
 
 
 def make_synthetic_nocs(root: str, n_images: int = 4, seed: int = 0,
@@ -96,8 +97,8 @@ def make_synthetic_nocs(root: str, n_images: int = 4, seed: int = 0,
         trans = np.array([rng.uniform(-0.1, 0.1), rng.uniform(-0.1, 0.1),
                           rng.uniform(0.8, 1.3)], np.float32)
 
-        color, mask, coord = _render_box(rng, im_h, im_w, K, rot, trans,
-                                         size)
+        color, mask, coord, depth_png = _render_box(rng, im_h, im_w, K,
+                                                    rot, trans, size)
         ys, xs = np.where(mask > 0)
         if len(ys) == 0:
             continue
@@ -108,6 +109,8 @@ def make_synthetic_nocs(root: str, n_images: int = 4, seed: int = 0,
         mask_png = np.zeros((im_h, im_w, 3), np.uint8)
         mask_png[:, :, 2] = mask * 1                   # instance id 1
         cv2.imwrite(os.path.join(scene, name + "_mask.png"), mask_png)
+        # metric depth in mm (uint16 variant of the NOCS encodings)
+        cv2.imwrite(os.path.join(scene, name + "_depth.png"), depth_png)
         # encode NOCS like the dataset: rgb = coord + 0.5, z stored flipped
         enc = coord + 0.5
         enc[:, :, 2] = 1.0 - enc[:, :, 2]

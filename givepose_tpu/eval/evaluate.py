@@ -59,6 +59,39 @@ def make_inference_fn(model, scale_model, use_scale_net: bool,
     return infer
 
 
+def make_umeyama_inference_fn(model, is_wild6d: bool = False):
+    """Depth-assisted inference: the pose comes from a RANSAC-Umeyama
+    similarity fit of the predicted NOCS map against the backprojected
+    depth crop (reference tools/umeyama.py:17-60, per-instance numpy
+    loop -> one vmapped jitted batch here).  Size stays the network's.
+    Returns sRT in the NOCS convention: RT[:3,:3] = s*R, RT[:3,3] = t."""
+    from givepose_tpu.eval.umeyama_pose import umeyama_pose_from_maps
+
+    @jax.jit
+    def infer(variables, batch, key):
+        out = model.apply(variables, batch, is_wild6d=is_wild6d)
+        nocs = out["nocs_coor"].astype(jnp.float32)      # (B, R, R, 3)
+        # absolute pixels from the normalized roi_coord_2d grid
+        imh = batch["im_hw"][:, 0][:, None, None]
+        imw = batch["im_hw"][:, 1][:, None, None]
+        px = (batch["roi_coord_2d"][..., 0] * (imw - 1) + (imw - 1)) * 0.5
+        py = (batch["roi_coord_2d"][..., 1] * (imh - 1) + (imh - 1)) * 0.5
+        fit = umeyama_pose_from_maps(
+            nocs, px, py, batch["roi_depth"], batch["roi_mask_out"],
+            batch["cam_K"].astype(jnp.float32), key)
+        b = nocs.shape[0]
+        rt = jnp.zeros((b, 4, 4), jnp.float32)
+        rt = rt.at[:, :3, :3].set(fit["rotation"]
+                                  * fit["scale"][:, None, None])
+        rt = rt.at[:, :3, 3].set(fit["translation"])
+        rt = rt.at[:, 3, 3].set(1.0)
+        size = out["size"]
+        size = size / jnp.linalg.norm(size, axis=1, keepdims=True)
+        return rt, size
+
+    return infer
+
+
 def run_inference(reader, model, variables, scale_model, scale_variables,
                   cfg: Config, source: str = "Real",
                   is_wild6d: bool = False, cache_path: str | None = None,
@@ -73,6 +106,10 @@ def run_inference(reader, model, variables, scale_model, scale_variables,
     if cfg.data.per_obj in SYNSET_NAMES[1:]:
         per_obj_id = SYNSET_NAMES.index(cfg.data.per_obj)
 
+    use_umeyama = getattr(cfg.eval, "use_umeyama", False)
+    if use_umeyama:
+        infer_um = make_umeyama_inference_fn(model, is_wild6d)
+        um_key = jax.random.PRNGKey(cfg.train.seed)
     infer = make_inference_fn(model, scale_model, cfg.model.use_scale_net,
                               is_wild6d)
     results = []
@@ -81,11 +118,17 @@ def run_inference(reader, model, variables, scale_model, scale_variables,
         if item is None:
             continue
         image, det, cam_k = item
+        depth = None
+        if use_umeyama:
+            depth = reader.read_depth(i)
+            if depth is None:
+                continue   # reference skips images without depth
         built = build_instance_batch(
             image, det, cam_k, source, img_size=cfg.data.img_size,
             out_res=cfg.data.out_res, pad_scale=cfg.data.dzi_pad_scale,
             max_instances=cfg.eval.max_instances,
-            resize_full=cfg.model.resize_full, per_obj_id=per_obj_id)
+            resize_full=cfg.model.resize_full, per_obj_id=per_obj_id,
+            depth=depth)
         out = dict(det)
         if built is None:
             # keep ALL pred_* keys consistent at length 0 (the reference
@@ -100,7 +143,11 @@ def run_inference(reader, model, variables, scale_model, scale_variables,
             continue
         batch, keep = built
         jb = {k: jnp.asarray(v) for k, v in batch.items()}
-        rts, sizes = infer(variables, scale_variables, jb)
+        if use_umeyama:
+            um_key, sub = jax.random.split(um_key)
+            rts, sizes = infer_um(variables, jb, sub)
+        else:
+            rts, sizes = infer(variables, scale_variables, jb)
         n = len(keep)
         out["pred_RTs"] = np.asarray(rts)[:n]
         out["pred_scales"] = np.asarray(sizes)[:n]

@@ -34,6 +34,25 @@ from givepose_tpu.data.records import (
 from givepose_tpu.geometry.symmetry import sym_info
 
 
+def load_depth(depth_path: str) -> np.ndarray | None:
+    """NOCS depth decode (reference tools/eval_utils.py:141-155).
+
+    3-channel pngs are composite-encoded: depth16 = G*256 + B with the
+    32001 sentinel zeroed; plain uint16 pngs pass through.  Returns mm.
+    """
+    depth = cv2.imread(depth_path, -1)
+    if depth is None:
+        return None
+    if depth.ndim == 3:
+        depth16 = (depth[:, :, 1].astype(np.int32) * 256
+                   + depth[:, :, 2].astype(np.int32))
+        depth16 = np.where(depth16 == 32001, 0, depth16)
+        return depth16.astype(np.uint16)
+    if depth.ndim == 2 and depth.dtype == np.uint16:
+        return depth
+    return None
+
+
 def mean_shape_of(cat_id: int, source: str = "Real") -> np.ndarray:
     name = (ID2CAT_CAMERA[cat_id] if source == "CAMERA"
             else CAT_NAMES[cat_id - 1])
@@ -93,12 +112,19 @@ class NocsEvalReader:
         cam_k = CAMERA_K if self.source == "CAMERA" else REAL_K
         return image, det, cam_k
 
+    def read_depth(self, index: int) -> np.ndarray | None:
+        """Metric depth (mm) for the depth-assisted Umeyama eval path
+        (reference load_data_eval.py:214-218)."""
+        img_path = os.path.join(self.data_dir, self.img_list[index])
+        return load_depth(img_path + "_depth.png")
+
 
 def build_instance_batch(image: np.ndarray, det: dict, cam_k: np.ndarray,
                          source: str, img_size: int = 256,
                          out_res: int = 64, pad_scale: float = 1.5,
                          max_instances: int = 24, resize_full: bool = True,
-                         per_obj_id: int | None = None):
+                         per_obj_id: int | None = None,
+                         depth: np.ndarray | None = None):
     """Host-side crop batch for one image's detections.
 
     Keeps reference crop math (bbox y1x1y2x2 -> square * pad, NEAREST
@@ -144,6 +170,19 @@ def build_instance_batch(image: np.ndarray, det: dict, cam_k: np.ndarray,
         "cam_K": np.tile(cam_k[None], (max_instances, 1, 1)),
         "valid": np.zeros((max_instances,), np.float32),
     }
+    if depth is not None:
+        # depth-assisted Umeyama path: per-instance out_res depth crop in
+        # METERS + out_res mask (the reference's resize_func_out mask) +
+        # image dims for denormalizing roi_coord_2d to absolute pixels.
+        # (The reference backprojects NORMALIZED pixels through absolute
+        # intrinsics, tools/umeyama.py:55-60 — broken; we use absolute.)
+        b["roi_depth"] = np.zeros((max_instances, out_res, out_res),
+                                  np.float32)
+        b["roi_mask_out"] = np.zeros((max_instances, out_res, out_res),
+                                     np.float32)
+        b["im_hw"] = np.tile(np.array([[im_h, im_w]], np.float32),
+                             (max_instances, 1))
+        depth_m = depth.astype(np.float32) / 1000.0
 
     # normalized pixel grid (reference get_2d_coord_np semantics)
     gx = (np.arange(im_w, dtype=np.float32) - (im_w - 1) / 2) \
@@ -175,6 +214,9 @@ def build_instance_batch(image: np.ndarray, det: dict, cam_k: np.ndarray,
         b["cat_id_0base"][slot] = cat_id - 1
         b["one_hot"][slot, cat_id - 1] = 1.0
         b["valid"][slot] = 1.0
+        if depth is not None:
+            b["roi_depth"][slot] = crop(depth_m, center, scale, out_res)
+            b["roi_mask_out"][slot] = crop(mask, center, scale, out_res)
 
     if resize_full:
         full = cv2.resize(img_f, (img_size, img_size))
@@ -208,6 +250,16 @@ class WildEvalReader:
 
     def __len__(self):
         return len(self.samples)
+
+    def read_depth(self, index: int) -> np.ndarray | None:
+        """Wild6D ships uint16 depth next to images; None when absent."""
+        cat, pkl_path = self.samples[index]
+        name = os.path.basename(pkl_path)[:-4]
+        parts = name.split("-")
+        frame, video = parts[-1], "/".join(parts[1:-1])
+        path = os.path.join(self.data_dir, "test_set", cat, video,
+                            "images", f"{frame}-depth.png")
+        return load_depth(path) if os.path.exists(path) else None
 
     def read(self, index: int):
         cat, pkl_path = self.samples[index]
