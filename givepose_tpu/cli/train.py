@@ -35,7 +35,11 @@ from givepose_tpu.core.logging_utils import (
     StepTimer,
     setup_logger,
 )
-from givepose_tpu.core.mesh import make_mesh_for_batch, shard_batch
+from givepose_tpu.core.mesh import (
+    initialize_distributed,
+    make_mesh_for_batch,
+    shard_host_batch,
+)
 from givepose_tpu.data import NocsRecordReader, TrainPipeline, \
     preprocess_batch
 from givepose_tpu.models import PoseNet
@@ -56,6 +60,7 @@ def build_model_batch(raw, key, cfg: Config, train=True):
 
 def train(argv=None, max_steps: int | None = None,
           backbone_variant: str = "base"):
+    initialize_distributed()   # no-op outside a multi-host launch
     cfg = parse_overrides(Config(), argv if argv is not None
                           else sys.argv[1:])
     os.makedirs(cfg.train.model_save, exist_ok=True)
@@ -72,7 +77,9 @@ def train(argv=None, max_steps: int | None = None,
         ban_mug=cfg.data.ban_mug)
     pipeline = TrainPipeline(reader, cfg.train.batch_size,
                              cfg.train.train_size, cfg.data.syn_ratio,
-                             seed=cfg.train.seed)
+                             seed=cfg.train.seed,
+                             process_id=jax.process_index(),
+                             num_processes=jax.process_count())
 
     mesh = make_mesh_for_batch(cfg.train.batch_size,
                                cfg.train.mesh_shape)
@@ -102,7 +109,7 @@ def train(argv=None, max_steps: int | None = None,
         for raw in pipeline.epoch():
             key, k_pre, k_step = jax.random.split(key, 3)
             batch = build_model_batch(raw, k_pre, cfg)
-            batch = shard_batch(mesh, batch)
+            batch = shard_host_batch(mesh, batch)
             state, step_metrics = step_fn(state, batch, k_step)
             global_step += 1
             timer.tick()

@@ -20,11 +20,21 @@ from givepose_tpu.data.sampler import EpochSampler
 
 
 class TrainPipeline:
+    """``batch_size`` is the GLOBAL batch; with ``num_processes`` > 1 each
+    feeder process reads only its chunk of every global batch (the sampler
+    is seed-deterministic, so all processes agree on the epoch order) and
+    yields local batches of ``batch_size // num_processes``."""
+
     def __init__(self, reader: NocsRecordReader, batch_size: int,
                  train_size: int, syn_ratio: float = 3.0, seed: int = 0,
-                 prefetch: int = 2):
+                 prefetch: int = 2, process_id: int = 0,
+                 num_processes: int = 1):
         self.reader = reader
         self.batch_size = batch_size
+        assert batch_size % num_processes == 0, (batch_size, num_processes)
+        self.process_id = process_id
+        self.num_processes = num_processes
+        self.local_batch = batch_size // num_processes
         subset = reader.subset_len
         if len(subset) == 2:
             cam_len, real_len = subset
@@ -55,13 +65,18 @@ class TrainPipeline:
     def epoch(self):
         """Yield raw host batches for one epoch (prefetched)."""
         indices = self.sampler.epoch_indices()
-        n_batches = len(indices) // self.batch_size
+        if self.num_processes > 1:
+            from givepose_tpu.core.mesh import process_local_indices
+            indices = process_local_indices(
+                indices, self.batch_size, process_id=self.process_id,
+                num_processes=self.num_processes)
+        bs = self.local_batch
+        n_batches = len(indices) // bs
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
 
         def worker():
             for b in range(n_batches):
-                chunk = indices[b * self.batch_size:
-                                (b + 1) * self.batch_size]
+                chunk = indices[b * bs:(b + 1) * bs]
                 q.put(self._read_batch(chunk))
             q.put(None)
 

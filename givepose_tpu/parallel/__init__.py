@@ -8,9 +8,12 @@ givepose_tpu.core.mesh; re-exported here as the public surface.
 """
 
 from givepose_tpu.core.mesh import (
+    initialize_distributed,
     make_mesh,
     make_mesh_for_batch,
     data_sharding,
+    process_local_indices,
     replicated,
     shard_batch,
+    shard_host_batch,
 )

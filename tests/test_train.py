@@ -198,6 +198,32 @@ class TestTrainStep:
         sh = sharded_batch["roi_img"].sharding
         assert sh.num_devices == 8
 
+    def test_sharded_step_matches_unsharded(self, rng, cfg):
+        """All-reduce equivalence: one step over the 8-device mesh must
+        produce the same params as the unsharded step on identical data
+        (data-parallel grads average to the global-batch grad)."""
+        model = PoseNet(cfg=cfg.model, backbone_variant="tiny")
+        batch = tiny_train_batch(rng, b=16)
+        state_a = init_train_state(model, cfg, batch)
+        state_b = jax.tree_util.tree_map(jnp.copy, state_a)
+
+        step_plain, _ = make_train_step(model, cfg)
+        state_a, m_a = step_plain(state_a, batch, jax.random.PRNGKey(7))
+
+        mesh = make_mesh()
+        step_mesh, _ = make_train_step(model, cfg, mesh=mesh)
+        sb = shard_batch(mesh, batch)
+        state_b = jax.device_put(state_b, NamedSharding(mesh, P()))
+        state_b, m_b = step_mesh(state_b, sb, jax.random.PRNGKey(7))
+
+        np.testing.assert_allclose(float(m_a["total_loss"]),
+                                   float(m_b["total_loss"]),
+                                   rtol=1e-5)
+        for pa, pb in zip(jax.tree_util.tree_leaves(state_a.params),
+                          jax.tree_util.tree_leaves(state_b.params)):
+            np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                       atol=2e-5, rtol=1e-4)
+
     def test_grad_accumulation(self, rng):
         cfg = Config(model=ModelConfig(compute_dtype="float32"),
                      train=TrainConfig(batch_size=4, accumulate=2,
