@@ -144,5 +144,125 @@ class TestShapePrior:
         assert np.abs(mean_points[0]).sum() > 0
 
 
+def _ref_occupancy_ns():
+    """Exec the reference save_occupancy.py function defs (the module
+    tail is a script with placeholder paths, so plain import fails)."""
+    path = "/root/reference/prepare_data/save_occupancy.py"
+    with open(path) as f:
+        src = f.read().split("resolution = 16")[0]
+    ns = {}
+    exec(compile(src, path, "exec"), ns)
+    return ns
+
+
+class TestOccupancySketch:
+    def test_voxelize_object_matches_reference(self, rng):
+        from givepose_tpu.prep import voxelize_object
+        ref = _ref_occupancy_ns()
+        # float64: the reference asserts every point lands in-grid, which
+        # float32 boundary rounding can violate (save_occupancy.py:99)
+        pts = rng.uniform(-0.4, 0.4, (400, 3))
+        vox, counts, grid_range, vsize = voxelize_object(pts, 16)
+        rvox, rcnt, *_ , rrange, rsize = ref["voxelize_object"](pts, 16)
+        np.testing.assert_array_equal(vox, rvox)
+        np.testing.assert_array_equal(counts, rcnt)
+        np.testing.assert_allclose(grid_range, rrange)
+        np.testing.assert_allclose(vsize, rsize)
+
+    def test_face_sketch_matches_reference(self, rng):
+        from givepose_tpu.prep import extract_face_sketch, voxelize_object
+        ref = _ref_occupancy_ns()
+        # blob-ish cloud so faces have structure
+        pts = np.concatenate([
+            rng.normal(0, 0.15, (300, 3)),
+            rng.uniform(-0.45, 0.45, (100, 3))]).astype(np.float32)
+        vox, *_ = voxelize_object(pts, 16)
+        occ, coords = extract_face_sketch(vox)
+        rocc, rcoords = ref["extract_face_sketch"](vox.copy())
+        np.testing.assert_array_equal(occ.astype(bool),
+                                      rocc.astype(bool))
+        for a, b in zip(coords, rcoords):
+            np.testing.assert_array_equal(a, b)
+
+    def test_save_occupancy_driver(self, tmp_path, rng):
+        from givepose_tpu.prep import save_occupancy
+        d = tmp_path / "obj_models"
+        d.mkdir()
+        models = {"m1": rng.uniform(-0.5, 0.5, (200, 3)).astype(np.float32)}
+        with open(d / "real_train.pkl", "wb") as f:
+            pickle.dump(models, f)
+        outs = save_occupancy(str(tmp_path), splits=("real_train",),
+                              log=lambda *_: None)
+        assert len(outs) == 1
+        with open(outs[0], "rb") as f:
+            occ = pickle.load(f)
+        e = occ["m1"]
+        assert e["voxels"].shape == (16, 16, 16)
+        assert e["sketch_occupancy"].shape == (6, 16, 16)
+        assert len(e["sketch_coords"]) == 6
+
+
+class TestGenPts:
+    def test_backproject_roundtrip(self):
+        from givepose_tpu.prep import backproject_depth
+        k = np.array([[500.0, 0, 320], [0, 500, 240], [0, 0, 1]])
+        depth = np.zeros((480, 640), np.float32)
+        depth[240, 320] = 1000.0        # principal point, 1 m
+        depth[100, 50] = 800.0
+        pts = backproject_depth(depth, k)
+        assert pts.shape == (2, 3)
+        on_axis = pts[np.argmin(np.abs(pts[:, 2] - 1000))]
+        np.testing.assert_allclose(on_axis, [0, 0, 1000], atol=1e-3)
+
+    def test_instance_labels_mark_object(self, rng):
+        """Scene points on the rendered object get label 1; far points 0."""
+        from givepose_tpu.prep import instance_point_labels
+        k = np.array([[500.0, 0, 320], [0, 500, 240], [0, 0, 1]])
+        # object: NOCS cube surface scaled to 10 cm at z=1 m
+        cube, _ = nocs_cube_points(24)
+        mpts = cube * 0.1
+        rot = np.eye(3, dtype=np.float32)
+        trans = np.array([0, 0, 1.0], np.float32)
+        img, dep = render_points(jnp.asarray(mpts), jnp.asarray(mpts),
+                                 jnp.asarray(rot), jnp.asarray(trans),
+                                 jnp.asarray(k))
+        depth_mm = np.asarray(dep) * 1000.0
+        # add a background plane at 2 m
+        depth_mm[depth_mm == 0] = 2000.0
+        ys, xs = np.where(np.asarray(dep) > 0)
+        bbox = (ys.min() - 5, ys.max() + 5, xs.min() - 5, xs.max() + 5)
+        out = instance_point_labels(depth_mm, bbox, k, mpts, rot, trans,
+                                    np.random.default_rng(0),
+                                    n_scene=2000)
+        assert out is not None
+        pts, labels = out
+        assert labels.sum() > 50
+        # labeled points sit near the object depth, unlabeled on the plane
+        assert abs(np.median(pts[labels == 1][:, 2]) - 950) < 120
+        assert np.median(pts[labels == 0][:, 2]) > 1800
+
+    def test_generate_point_labels_driver(self, tmp_path):
+        from givepose_tpu.data.synthetic import make_synthetic_nocs
+        from givepose_tpu.prep import generate_point_labels
+        data_dir, _ = make_synthetic_nocs(str(tmp_path), n_images=2,
+                                          seed=3)
+        out = str(tmp_path / "pts")
+        # synthetic obj models are sparse random interior points; widen
+        # the match threshold accordingly (prod default stays 12 mm)
+        n = generate_point_labels(data_dir, out, threshold_mm=40.0,
+                                  log=lambda *_: None)
+        assert n >= 1
+        objs = os.listdir(out)
+        pose_files = os.listdir(os.path.join(out, objs[0], "points"))
+        lab_files = os.listdir(os.path.join(out, objs[0], "points_labs"))
+        assert pose_files and lab_files
+        pts = np.loadtxt(os.path.join(out, objs[0], "points",
+                                      pose_files[0]))
+        labs = np.loadtxt(os.path.join(out, objs[0], "points_labs",
+                                       lab_files[0]))
+        assert pts.shape == (6000, 3)
+        assert set(np.unique(labs)).issubset({0.0, 1.0})
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
