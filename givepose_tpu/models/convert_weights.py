@@ -11,8 +11,8 @@ givepose_tpu.models.convnext parameter tree:
   stem.1.{weight,bias}            ->    stem_norm.{scale,bias}
   stages.S.downsample.0.*         ->    downsample_normS.{scale,bias}
   stages.S.downsample.1.*         ->    downsample_convS.{kernel,bias}
-  stages.S.blocks.B.conv_dw.*     ->    stageS_blockB.Conv_0.*
-  stages.S.blocks.B.norm.*        ->    stageS_blockB.LayerNorm_0.*
+  stages.S.blocks.B.conv_dw.*     ->    stageS_blockB.dw_kernel/dw_bias
+  stages.S.blocks.B.norm.*        ->    stageS_blockB.dw_ln_scale/_bias
   stages.S.blocks.B.mlp.fc1.*     ->    stageS_blockB.Dense_0.*
   stages.S.blocks.B.mlp.fc2.*     ->    stageS_blockB.Dense_1.*
   stages.S.blocks.B.gamma         ->    stageS_blockB.gamma
@@ -79,14 +79,16 @@ def convert_convnext(state: dict) -> dict:
             s, b, rest = int(m.group(1)), int(m.group(2)), m.group(3)
             block = f"stage{s}_block{b}"
             if rest.startswith("conv_dw."):
-                leaf = "kernel" if rest.endswith("weight") else "bias"
-                if leaf == "kernel":
-                    # torch depthwise (C,1,K,K) -> flax (K,K,1,C)
-                    v = v.transpose(2, 3, 1, 0)
-                put([block, "Conv_0"], leaf, v)
+                if rest.endswith("weight"):
+                    # torch depthwise (C,1,K,K) -> block-owned (K,K,C)
+                    put([block], "dw_kernel",
+                        v.transpose(2, 3, 1, 0)[:, :, 0, :])
+                else:
+                    put([block], "dw_bias", v)
             elif rest.startswith("norm."):
-                leaf = "scale" if rest.endswith("weight") else "bias"
-                put([block, "LayerNorm_0"], leaf, v)
+                leaf = ("dw_ln_scale" if rest.endswith("weight")
+                        else "dw_ln_bias")
+                put([block], leaf, v)
             elif rest.startswith("mlp.fc1."):
                 leaf = "kernel" if rest.endswith("weight") else "bias"
                 if leaf == "kernel":

@@ -29,17 +29,38 @@ class ConvNeXtBlock(nn.Module):
     layer_scale_init: float = 1e-6
     drop_path_rate: float = 0.0
     gelu_exact: bool = False
+    # dw conv + LN implementation.  'xla' (default, fastest measured):
+    # the single-expression conv+f32-LN formulation in
+    # ops/dwconv_ln_pallas._dwconv_ln_xla — XLA's conv engine runs the
+    # grouped 7x7 at ~3.8 ms/net and fuses the LN chain (isolated
+    # dwconv+LN total 7.6 ms vs 22 ms for the best Pallas VPU variant,
+    # benchmarks log in the ops module docstring).  'pallas' keeps the
+    # exploratory fused kernel selectable.
+    dw_impl: str = "xla"
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         residual = x
-        # depthwise 7x7
-        y = nn.Conv(self.dim, (7, 7), padding=[(3, 3), (3, 3)],
-                    feature_group_count=self.dim, dtype=self.dtype,
-                    param_dtype=jnp.float32)(x)
-        y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32)(
-            y.astype(jnp.float32)).astype(self.dtype)
+        impl = self.dw_impl
+        if impl == "auto":
+            impl = "xla"
+        # dw conv + LN params are owned by the block (one tree for both
+        # impls, so checkpoints are portable across backends)
+        w = self.param("dw_kernel", nn.initializers.lecun_normal(),
+                       (7, 7, self.dim), jnp.float32)
+        b = self.param("dw_bias", nn.initializers.zeros,
+                       (self.dim,), jnp.float32)
+        g = self.param("dw_ln_scale", nn.initializers.ones,
+                       (self.dim,), jnp.float32)
+        bt = self.param("dw_ln_bias", nn.initializers.zeros,
+                        (self.dim,), jnp.float32)
+        if impl == "pallas":
+            from givepose_tpu.ops.dwconv_ln_pallas import dwconv_ln
+            y = dwconv_ln(x, w, b, g, bt)
+        else:
+            from givepose_tpu.ops.dwconv_ln_pallas import _dwconv_ln_xla
+            y = _dwconv_ln_xla(x, w, b, g, bt)
         y = nn.Dense(4 * self.dim, dtype=self.dtype,
                      param_dtype=jnp.float32)(y)
         y = nn.gelu(y, approximate=not self.gelu_exact)
@@ -65,6 +86,7 @@ class ConvNeXt(nn.Module):
     # exact erf GELU matches torch/timm (required for ported weights) but
     # costs ~20 ms per ConvNeXt-B forward at batch 64 on v5e
     gelu_exact: bool = False
+    dw_impl: str = "xla"      # see ConvNeXtBlock.dw_impl
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -91,6 +113,7 @@ class ConvNeXt(nn.Module):
                       / max(total_blocks - 1, 1))
                 y = ConvNeXtBlock(dim, drop_path_rate=dp,
                                   gelu_exact=self.gelu_exact,
+                                  dw_impl=self.dw_impl,
                                   dtype=self.dtype,
                                   name=f"stage{stage}_block{blk}")(
                     y, deterministic=deterministic)

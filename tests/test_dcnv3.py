@@ -358,10 +358,10 @@ class TestFusedConvNeXtBlock:
         ref = np.asarray(blk.apply(v, x))
         p = v["params"]
         out = convnext_block_fused(
-            x, jnp.asarray(p["Conv_0"]["kernel"]),
-            jnp.asarray(p["Conv_0"]["bias"]),
-            jnp.asarray(p["LayerNorm_0"]["scale"]),
-            jnp.asarray(p["LayerNorm_0"]["bias"]),
+            x, jnp.asarray(p["dw_kernel"])[:, :, None, :],
+            jnp.asarray(p["dw_bias"]),
+            jnp.asarray(p["dw_ln_scale"]),
+            jnp.asarray(p["dw_ln_bias"]),
             jnp.asarray(p["Dense_0"]["kernel"]),
             jnp.asarray(p["Dense_0"]["bias"]),
             jnp.asarray(p["Dense_1"]["kernel"]),
