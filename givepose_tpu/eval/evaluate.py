@@ -204,5 +204,12 @@ def evaluate_results(results, cfg: Config, log=print):
                          iou_thrs, cls_idx)
     log("scale-normalized mAP (shift in % of diameter): "
         + ", ".join(f"{k}={v:.1f}" for k, v in relative.items()))
+
+    if cfg.eval.result_dir:
+        from givepose_tpu.eval.visualize import plot_map_curves
+
+        png = plot_map_curves(iou_aps, pose_aps, cfg.eval.result_dir,
+                              iou_thrs, degree_thrs, shift_thrs)
+        log(f"AP curves: {png}")
     return {"absolute": absolute, "relative": relative,
             "iou_aps": iou_aps, "pose_aps": pose_aps}

@@ -65,3 +65,86 @@ def draw_results(image: np.ndarray, result: dict,
 def nocs_map_to_rgb(coor: np.ndarray) -> np.ndarray:
     """[-0.5, 0.5] NOCS map -> uint8 visualization."""
     return np.clip((np.asarray(coor) + 0.5) * 255, 0, 255).astype(np.uint8)
+
+
+_CURVE_STYLE = [
+    ("tab:blue", "-"), ("tab:orange", "-"), ("tab:green", "-"),
+    ("tab:pink", "-"), ("tab:olive", "-"), ("tab:purple", "-"),
+    ("tab:red", "--"), ("tab:gray", ":"),
+]
+
+
+def plot_map_curves(iou_aps: np.ndarray, pose_aps: np.ndarray,
+                    out_dir: str, iou_thres_list, degree_thres_list,
+                    shift_thres_list, class_names=None,
+                    save_pkl: bool = True) -> str:
+    """Three-panel AP-curve figure + results pickle.
+
+    Reference behavior: evaluation/eval_utils.py:467-515 (plot_mAP) plus
+    the mAP_Acc.pkl dump at :452-464.  Panels: AP vs 3D-IoU threshold,
+    AP vs rotation threshold at the loosest shift, AP vs shift threshold
+    at the loosest rotation.  Class axis layout matches our harness
+    (``compute_degree_cm_map``): rows 1..C-1 are real classes, row -1 is
+    the class mean (drawn dashed red like the reference's 'mean').
+
+    Returns the path of the saved PNG.
+    """
+    import os
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from givepose_tpu.eval.metrics import SYNSET_NAMES
+
+    names = list(class_names or SYNSET_NAMES[1:]) + ["mean"]
+    iou_t = np.asarray(iou_thres_list, np.float64)
+    deg_t = np.asarray(degree_thres_list, np.float64)
+    sft_t = np.asarray(shift_thres_list, np.float64)
+    # rows to draw: real classes then the mean row (-1)
+    rows = list(range(1, iou_aps.shape[0] - 1)) + [iou_aps.shape[0] - 1]
+
+    fig, (ax_iou, ax_deg, ax_sft) = plt.subplots(1, 3, figsize=(8, 3.5))
+    ax_iou.set_title("3D IoU", fontsize=10)
+    ax_iou.set_ylabel("Average Precision")
+    ax_iou.set_ylim(0, 100)
+    ax_iou.set_xlabel("Percent")
+    ax_iou.set_xlim(0, 100)
+    ax_iou.grid()
+    ax_deg.set_title("Rotation", fontsize=10)
+    ax_deg.set_ylim(0, 100)
+    ax_deg.yaxis.set_ticklabels([])
+    ax_deg.set_xlabel("Degree")
+    ax_deg.grid()
+    ax_sft.set_title("Translation", fontsize=10)
+    ax_sft.set_ylim(0, 100)
+    ax_sft.yaxis.set_ticklabels([])
+    ax_sft.set_xlabel("Centimeter")
+    ax_sft.grid()
+    for j, row in enumerate(rows):
+        color, style = _CURVE_STYLE[j % len(_CURVE_STYLE)]
+        label = names[j] if j < len(names) else f"cls{row}"
+        ax_iou.plot(100 * iou_t, 100 * iou_aps[row, :len(iou_t)],
+                    color=color, linestyle=style, label=label)
+        ax_deg.plot(deg_t, 100 * pose_aps[row, :len(deg_t), -1],
+                    color=color, linestyle=style, label=label)
+        ax_sft.plot(sft_t, 100 * pose_aps[row, -1, :len(sft_t)],
+                    color=color, linestyle=style, label=label)
+    ax_sft.legend(loc="lower right", fontsize="small")
+    fig.tight_layout()
+    png_path = os.path.join(out_dir, "mAP.png")
+    fig.savefig(png_path)
+    plt.close(fig)
+
+    if save_pkl:
+        import pickle
+
+        with open(os.path.join(out_dir, "mAP_Acc.pkl"), "wb") as f:
+            pickle.dump({
+                "iou_thres_list": list(iou_thres_list),
+                "degree_thres_list": list(degree_thres_list),
+                "shift_thres_list": list(shift_thres_list),
+                "iou_aps": iou_aps,
+                "pose_aps": pose_aps,
+            }, f)
+    return png_path

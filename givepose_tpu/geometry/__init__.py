@@ -8,6 +8,10 @@ from givepose_tpu.geometry.rotations import (
     mat_to_quat,
     euler_to_mat,
     axangle_to_mat,
+    lie_vec_to_mat,
+    log_quat_to_mat,
+    rot5d_to_mat,
+    ortho5d_to_mat,
     get_rot_mat,
 )
 from givepose_tpu.geometry.allo_ego import (

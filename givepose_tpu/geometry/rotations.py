@@ -171,10 +171,76 @@ def axangle_to_mat(axis: jnp.ndarray, angle: jnp.ndarray,
     return jnp.stack([row0, row1, row2], axis=-2)
 
 
+def lie_vec_to_mat(vec: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+    """so(3) exponential map: (...,3) axis-angle vector -> (...,3,3).
+
+    Covers the reference's ``*_lie_vec`` rot types
+    (network/model_utils.py:303-304); the ``lie_algebra`` module those
+    lines import is absent upstream, so we implement the standard expmap
+    with a Taylor guard at theta ~ 0.
+    """
+    theta = jnp.linalg.norm(vec, axis=-1, keepdims=True)
+    safe = jnp.maximum(theta, eps)
+    return axangle_to_mat(vec / safe, theta[..., 0])
+
+
+def log_quat_to_mat(log_q: jnp.ndarray) -> jnp.ndarray:
+    """Quaternion exponential then quat->mat: (...,4) -> (...,3,3).
+
+    Covers the reference's ``*_log_quat`` rot types
+    (network/model_utils.py:300-302, latentfusion ``qexp``; module absent
+    upstream).  exp([a, v]) = e^a (cos|v|, sin|v| v/|v|); the scalar
+    factor cancels in the normalized quat->mat.
+    """
+    v = log_q[..., 1:]
+    mag = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    safe = jnp.maximum(mag, 1e-8)
+    w = jnp.cos(mag)
+    xyz = jnp.sin(mag) * v / safe
+    return quat_to_mat(jnp.concatenate([w, xyz], axis=-1))
+
+
+def rot5d_to_mat(r5d: jnp.ndarray) -> jnp.ndarray:
+    """(sin, cos, axis) 5-D rep -> (...,3,3) via Rodrigues.
+
+    Reference rot_reps.py:169-226 (normalize_5d_rotation +
+    rot5d_to_mat_batch, the unused ablation rep): sin/cos pair and axis
+    are normalized independently, then the angle-axis rotation assembled.
+    """
+    sc = _normalize(r5d[..., :2], 1e-8)
+    axis = _normalize(r5d[..., 2:5], 1e-8)
+    s, c = sc[..., 0], sc[..., 1]
+    angle = jnp.arctan2(s, c)
+    return axangle_to_mat(axis, angle)
+
+
+def ortho5d_to_mat(a: jnp.ndarray) -> jnp.ndarray:
+    """Stereographic 5-D orthogonal rep -> (...,3,3).
+
+    Reference rot_reps.py:255-285 (stereographic_unproject with axis=0 +
+    ortho5d_to_mat_batch): scale the last three coords, unproject onto
+    S^3 placing the new coordinate FIRST, renormalize the trailing three,
+    and feed (a[:2], u) through the 6-D Gram-Schmidt map.
+    """
+    proj_scale = jnp.asarray([jnp.sqrt(2.0) + 1, jnp.sqrt(2.0) + 1,
+                              jnp.sqrt(2.0)], a.dtype)
+    v = a[..., 2:5] * proj_scale
+    s2 = jnp.sum(v * v, axis=-1, keepdims=True)
+    unproj = 2 * v / (s2 + 1)
+    u = jnp.concatenate([(s2 - 1) / (s2 + 1), unproj], axis=-1)  # (...,4)
+    norm = jnp.linalg.norm(u[..., 1:], axis=-1, keepdims=True)
+    u = u / jnp.maximum(norm, 1e-12)
+    return rot6d_to_mat(jnp.concatenate([a[..., :2], u], axis=-1))
+
+
 def get_rot_mat(rot: jnp.ndarray, rot_type: str) -> jnp.ndarray:
     """Dispatch matching reference PoseNet.get_rot_mat (PoseNet.py:36-51)."""
     if rot_type in ("ego_quat", "allo_quat"):
         return quat_to_mat(rot)
+    if rot_type in ("ego_log_quat", "allo_log_quat"):
+        return log_quat_to_mat(rot)
+    if rot_type in ("ego_lie_vec", "allo_lie_vec"):
+        return lie_vec_to_mat(rot)
     if rot_type in ("ego_rot6d", "allo_rot6d", "allo_rot6d_sym"):
         return rot6d_to_mat(rot)
     if rot_type in ("allo_rot6d_sym_y", "allo_rot6d_y"):

@@ -126,6 +126,25 @@ class TestVisualize:
         assert vis.dtype == np.uint8
         assert vis.max() == 0
 
+    def test_plot_map_curves(self, tmp_path):
+        from givepose_tpu.eval.visualize import plot_map_curves
+
+        rng = np.random.default_rng(0)
+        n_cls = 7                      # BG + 6 classes, +1 mean row
+        iou_t = [i / 100 for i in range(101)]
+        deg_t = list(range(0, 61, 5))
+        sft_t = list(range(0, 11))
+        iou_aps = rng.uniform(size=(n_cls + 1, len(iou_t)))
+        pose_aps = rng.uniform(size=(n_cls + 1, len(deg_t) + 1,
+                                     len(sft_t) + 1))
+        png = plot_map_curves(iou_aps, pose_aps, str(tmp_path),
+                              iou_t, deg_t, sft_t)
+        assert os.path.exists(png)
+        with open(os.path.join(tmp_path, "mAP_Acc.pkl"), "rb") as f:
+            dumped = pickle.load(f)
+        np.testing.assert_array_equal(dumped["iou_aps"], iou_aps)
+        assert dumped["degree_thres_list"] == deg_t
+
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])

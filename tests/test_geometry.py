@@ -93,6 +93,57 @@ class TestQuat:
         np.testing.assert_allclose(ours * sign, ref, atol=1e-5)
 
 
+class TestExtraReps:
+    def test_lie_vec_vs_scipy(self, rng):
+        vec = rng.normal(size=(16, 3)).astype(np.float64)
+        ours = np.asarray(geo.lie_vec_to_mat(jnp.asarray(vec)))
+        want = ScipyRot.from_rotvec(vec).as_matrix()
+        np.testing.assert_allclose(ours, want, atol=1e-5)
+        # zero vector -> identity (Taylor guard)
+        z = np.asarray(geo.lie_vec_to_mat(jnp.zeros((1, 3))))
+        np.testing.assert_allclose(z[0], np.eye(3), atol=1e-6)
+
+    def test_log_quat_matches_quat_exp(self, rng):
+        lq = rng.normal(size=(16, 4)).astype(np.float64) * 0.7
+        ours = np.asarray(geo.log_quat_to_mat(jnp.asarray(lq)))
+        # oracle: exp of a pure-imaginary part is an axis-angle rotation
+        # by 2*|v| about v (unit-quat double cover)
+        v = lq[:, 1:]
+        want = ScipyRot.from_rotvec(
+            2 * v / np.linalg.norm(v, axis=1, keepdims=True)
+            * np.linalg.norm(v, axis=1, keepdims=True)).as_matrix()
+        np.testing.assert_allclose(ours, want, atol=1e-5)
+
+    def test_rot5d_ortho5d_vs_reference(self, rng):
+        torch = pytest.importorskip("torch")
+        from tests.ref_shim import import_reference
+
+        reps = import_reference()("network.pose_utils.rot_reps")
+        r5d = rng.normal(size=(16, 5)).astype(np.float64)
+        ours = np.asarray(geo.rot5d_to_mat(jnp.asarray(r5d)))
+        norm = reps.normalize_5d_rotation(torch.from_numpy(r5d))
+        want = reps.rot5d_to_mat_batch(norm).numpy()
+        np.testing.assert_allclose(ours, want, atol=1e-5)
+
+        a = rng.normal(size=(16, 5)).astype(np.float32)
+        ours = np.asarray(geo.ortho5d_to_mat(jnp.asarray(a)))
+        want = reps.ortho5d_to_mat_batch(torch.from_numpy(a)).numpy()
+        np.testing.assert_allclose(ours, want, atol=1e-4)
+
+    def test_dispatch_new_types(self, rng):
+        for t in ("ego_lie_vec", "allo_lie_vec"):
+            m = np.asarray(geo.get_rot_mat(
+                jnp.asarray(rng.normal(size=(4, 3))), t))
+            np.testing.assert_allclose(m @ m.transpose(0, 2, 1),
+                                       np.tile(np.eye(3), (4, 1, 1)),
+                                       atol=1e-5)
+        for t in ("ego_log_quat", "allo_log_quat"):
+            m = np.asarray(geo.get_rot_mat(
+                jnp.asarray(rng.normal(size=(4, 4))), t))
+            np.testing.assert_allclose(np.linalg.det(m), np.ones(4),
+                                       atol=1e-5)
+
+
 class TestAxAngleEuler:
     def test_axangle_vs_scipy(self, rng):
         axis = rng.normal(size=(16, 3))
