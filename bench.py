@@ -76,16 +76,20 @@ def main():
     from givepose_tpu.core.config import ModelConfig
     from givepose_tpu.models import PoseNet
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
-    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    args = [a for a in sys.argv[1:] if a != "--int8"]
+    int8 = "--int8" in sys.argv
+    batch = int(args[0]) if len(args) > 0 else 64
+    steps = int(args[1]) if len(args) > 1 else 20
     # third arg: use_dcn.  Default '' = plain-conv NOCS-map encoder — a
     # reference-legal config (reference config/config.py:120 +
     # conv_pnp_net.py:254-258) and the throughput flagship: the DCNv3
     # encoder costs ~33 ms/batch-64 on v5e (1504 vs 850 crops/s).  Pass
-    # 'dcnv3' to bench the deformable encoder config.
-    use_dcn = sys.argv[3] if len(sys.argv) > 3 else ""
+    # 'dcnv3' to bench the deformable encoder config.  --int8 switches
+    # the backbone matmuls to the W8A8 serving mode (models/quant.py).
+    use_dcn = args[2] if len(args) > 2 else ""
 
-    cfg = ModelConfig(compute_dtype="bfloat16", use_dcn=use_dcn)
+    cfg = ModelConfig(compute_dtype="bfloat16", use_dcn=use_dcn,
+                      quant_dense=int8)
     model = PoseNet(cfg=cfg, backbone_variant="base")
 
     rng = np.random.default_rng(0)
@@ -140,8 +144,9 @@ def main():
     crops_per_sec = batch / per_step
 
     print(json.dumps({
-        "metric": "crops/sec/chip (PoseNet-B bf16 inference, batch %d, "
-                  "use_dcn='%s')" % (batch, use_dcn),
+        "metric": "crops/sec/chip (PoseNet-B %s inference, batch %d, "
+                  "use_dcn='%s')" % ("int8" if int8 else "bf16", batch,
+                                     use_dcn),
         "value": round(crops_per_sec, 1),
         "unit": "crops/s",
         "vs_baseline": round(crops_per_sec / 2000.0, 3),

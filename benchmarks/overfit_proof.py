@@ -1,0 +1,109 @@
+"""End-to-end learning proof: overfit PoseNet on the synthetic fixture,
+then run the REAL eval driver with the trained weights.
+
+This closes the train->eval loop the reference exercises implicitly
+(engine/train.py:115-154 -> evaluation/evaluate.py:141-203): the same
+scenes are written to both the train and test splits (same seed), the
+pose net + scale net are overfit with augmentation disabled, and the
+standard eval driver must then report near-perfect mAP from *predicted*
+poses.
+
+Usage (real TPU or CPU):
+    python benchmarks/overfit_proof.py [steps] [out_json]
+
+Writes a JSON artifact (default OVERFIT.json) with the final loss, the
+absolute-mAP summary, and pass/fail flags (IoU25 >= 95, 5d5cm >= 80).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+
+def run(steps: int = 600, out_json: str = "OVERFIT.json") -> dict:
+    from givepose_tpu.data.synthetic import (
+        make_synthetic_eval,
+        make_synthetic_nocs,
+    )
+
+    root = tempfile.mkdtemp(prefix="overfit_")
+    # identical scenes in both splits: same seed drives the same rng draws
+    data_dir, ivfc_dir = make_synthetic_nocs(root, n_images=4, seed=0,
+                                             split="train", source="Real")
+    make_synthetic_eval(root, n_images=4, seed=0)
+
+    common = [
+        "--dataset", "Real",
+        "--dataset_dir", data_dir,
+        "--data.ivfc_dir", ivfc_dir,
+        "--img_size", "64",
+        "--out_res", "16",
+        "--model.compute_dtype", "float32",
+        # determinism for memorization: no DZI jitter, no color aug,
+        # no mask deformation
+        "--DZI_TYPE", "none",
+        "--color_aug_prob", "0",
+        "--data.roi_mask_pro", "0",
+        "--batch_size", "4",
+        "--train_size", "4",
+        "--warmup_iters", "20",
+        "--total_epoch", str(steps),
+    ]
+
+    from givepose_tpu.cli.train import train
+
+    save = os.path.join(root, "run")
+    log_every = str(max(1, min(50, steps)))
+    state = train(common + ["--model_save", save,
+                            "--log_every", log_every],
+                  max_steps=steps, backbone_variant="tiny")
+    with open(os.path.join(save, "metrics.jsonl")) as f:
+        last = json.loads(f.readlines()[-1])
+    final_loss = last.get("total_loss", float("nan"))
+    print(f"final train loss after {steps} steps: {final_loss:.4f}")
+
+    from givepose_tpu.cli.train_scale import train_scale
+
+    sn_state = train_scale(
+        common + ["--model_save", os.path.join(root, "run_sn"),
+                  "--log_every", log_every, "--lr", "1e-3"],
+        max_steps=min(steps, 300))
+
+    from givepose_tpu.cli.evaluate import evaluate
+
+    summary = evaluate(
+        common + ["--model_save", os.path.join(root, "eval_out"),
+                  "--eval.max_instances", "4"],
+        backbone_variant="tiny",
+        posenet_variables={"params": state.params,
+                           "batch_stats": state.batch_stats},
+        scalenet_variables={"params": sn_state.params,
+                            "batch_stats": sn_state.batch_stats})
+    absolute = summary["absolute"]
+    print("absolute mAP:", absolute)
+
+    import jax
+
+    out = {
+        "backend": jax.devices()[0].platform,
+        "steps": steps,
+        "final_loss": float(final_loss),
+        "absolute_mAP": absolute,
+        "pass_iou25": absolute.get("IoU25", 0.0) >= 95.0,
+        "pass_5d5cm": absolute.get("5d5cm", 0.0) >= 80.0,
+    }
+    with open(out_json, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 600
+    dst = sys.argv[2] if len(sys.argv) > 2 else "OVERFIT.json"
+    run(n, dst)

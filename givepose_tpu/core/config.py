@@ -76,6 +76,10 @@ class ModelConfig:
     # ConvNeXt-B scale and indistinguishable when training from scratch.
     # Set True when loading converted torch weights (exact parity).
     gelu_exact: bool = False
+    # int8 W8A8 serving mode for the backbone 1x1 matmuls (MXU int8 is
+    # 2x bf16 on v5e; models/quant.py).  Inference-only: checkpoints are
+    # unchanged, gradients through round() vanish.
+    quant_dense: bool = False
 
 
 @dataclass(frozen=True)
@@ -182,6 +186,7 @@ _FLAG_ALIASES: dict[str, tuple[str, str]] = {
     "mask_attention_type": ("model", "mask_attention_type"),
     "nocsmap_encoder": ("model", "nocsmap_encoder"),
     "use_dcn": ("model", "use_dcn"),
+    "quant_dense": ("model", "quant_dense"),
     "r_type": ("model", "r_type"),
     "t_type": ("model", "t_type"),
     "z_type": ("model", "z_type"),

@@ -37,6 +37,9 @@ class ConvNeXtBlock(nn.Module):
     # benchmarks log in the ops module docstring).  'pallas' keeps the
     # exploratory fused kernel selectable.
     dw_impl: str = "xla"
+    # int8 W8A8 serving mode for the 1x1 matmuls (models/quant.py);
+    # param tree is unchanged, so trained checkpoints serve directly
+    quant: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -61,10 +64,13 @@ class ConvNeXtBlock(nn.Module):
         else:
             from givepose_tpu.ops.dwconv_ln_pallas import _dwconv_ln_xla
             y = _dwconv_ln_xla(x, w, b, g, bt)
-        y = nn.Dense(4 * self.dim, dtype=self.dtype,
-                     param_dtype=jnp.float32)(y)
-        y = nn.gelu(y, approximate=not self.gelu_exact)
-        y = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32)(y)
+        from givepose_tpu.models.quant import make_dense
+        act = "gelu_exact" if self.gelu_exact else "gelu_tanh"
+        y = make_dense(self.quant, 4 * self.dim, self.dtype,
+                       name="Dense_0", act=act)(y)
+        if not self.quant:        # quant path fuses GELU in the kernel
+            y = nn.gelu(y, approximate=not self.gelu_exact)
+        y = make_dense(self.quant, self.dim, self.dtype, name="Dense_1")(y)
         gamma = self.param("gamma",
                            nn.initializers.constant(self.layer_scale_init),
                            (self.dim,), jnp.float32)
@@ -87,6 +93,11 @@ class ConvNeXt(nn.Module):
     # costs ~20 ms per ConvNeXt-B forward at batch 64 on v5e
     gelu_exact: bool = False
     dw_impl: str = "xla"      # see ConvNeXtBlock.dw_impl
+    quant: bool = False       # see ConvNeXtBlock.quant
+    # int8 only pays where K is deep enough for the MXU int8 mode to
+    # beat bf16 (v5e sweep: big win at K>=512, loss at K=128/256), so
+    # narrow early stages stay bf16
+    quant_min_dim: int = 512
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -114,6 +125,8 @@ class ConvNeXt(nn.Module):
                 y = ConvNeXtBlock(dim, drop_path_rate=dp,
                                   gelu_exact=self.gelu_exact,
                                   dw_impl=self.dw_impl,
+                                  quant=(self.quant
+                                         and dim >= self.quant_min_dim),
                                   dtype=self.dtype,
                                   name=f"stage{stage}_block{blk}")(
                     y, deterministic=deterministic)
@@ -122,16 +135,16 @@ class ConvNeXt(nn.Module):
 
 
 def convnext_base(dtype: Dtype = jnp.float32, drop_path_rate: float = 0.0,
-                  gelu_exact: bool = False) -> ConvNeXt:
+                  gelu_exact: bool = False, quant: bool = False) -> ConvNeXt:
     """convnext_base config matching reference backbone.py:36-46."""
     return ConvNeXt(depths=(3, 3, 27, 3), dims=(128, 256, 512, 1024),
                     drop_path_rate=drop_path_rate, gelu_exact=gelu_exact,
-                    dtype=dtype)
+                    quant=quant, dtype=dtype)
 
 
 def convnext_tiny(dtype: Dtype = jnp.float32, drop_path_rate: float = 0.0,
-                  gelu_exact: bool = False) -> ConvNeXt:
+                  gelu_exact: bool = False, quant: bool = False) -> ConvNeXt:
     """Smaller variant for tests/ablation."""
     return ConvNeXt(depths=(3, 3, 9, 3), dims=(96, 192, 384, 768),
                     drop_path_rate=drop_path_rate, gelu_exact=gelu_exact,
-                    dtype=dtype)
+                    quant=quant, dtype=dtype)

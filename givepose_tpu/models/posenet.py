@@ -52,18 +52,22 @@ class PoseNet(nn.Module):
         img = batch["roi_img"].astype(dtype)           # (B,256,256,3)
 
         gelu = "gelu_exact" if self.cfg.gelu_exact else "gelu"
+        quant = getattr(self.cfg, "quant_dense", False)
         if self.backbone_variant == "base":
             backbone = convnext_base(dtype=dtype,
-                                     gelu_exact=self.cfg.gelu_exact)
+                                     gelu_exact=self.cfg.gelu_exact,
+                                     quant=quant)
         elif self.backbone_variant == "custom":
             from givepose_tpu.models.convnext import ConvNeXt
             backbone = ConvNeXt(depths=self.backbone_depths,
                                 dims=self.backbone_dims,
                                 gelu_exact=self.cfg.gelu_exact,
+                                quant=quant,
                                 dtype=dtype)
         else:
             backbone = convnext_tiny(dtype=dtype,
-                                     gelu_exact=self.cfg.gelu_exact)
+                                     gelu_exact=self.cfg.gelu_exact,
+                                     quant=quant)
         feat = backbone(img, deterministic=not train)  # (B,8,8,1024)
 
         size_resid = SizeHead(feat_dim=self.cfg.feat_ts,
