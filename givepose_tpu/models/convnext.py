@@ -24,6 +24,21 @@ import flax.linen as nn
 Dtype = Any
 
 
+class _DenseParams(nn.Module):
+    """Parameter holder with an nn.Dense-identical tree (kernel, bias)
+    so the fused int8 MLP kernel serves unmodified checkpoints."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (in_features, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.features,), jnp.float32)
+        return k, b
+
+
 class ConvNeXtBlock(nn.Module):
     dim: int
     layer_scale_init: float = 1e-6
@@ -58,22 +73,47 @@ class ConvNeXtBlock(nn.Module):
                        (self.dim,), jnp.float32)
         bt = self.param("dw_ln_bias", nn.initializers.zeros,
                         (self.dim,), jnp.float32)
+        act = "gelu_exact" if self.gelu_exact else "gelu_tanh"
+        gamma_init = nn.initializers.constant(self.layer_scale_init)
+        if self.quant:
+            # fused int8 serving path: the whole MLP tail (both matmuls,
+            # GELU, layer scale, residual) is one Pallas kernel — keeping
+            # the 4C intermediate in VMEM is what makes int8 pay off.
+            # The LN normalize rides the kernel prologue (XLA can fuse
+            # only conv + bias + stats here), so the dwconv fusion emits
+            # the raw bf16 map plus f32 stats, like it does for a matmul
+            # consumer.
+            from givepose_tpu.ops.quant_matmul_pallas import \
+                convnext_mlp_int8
+            yc = jax.lax.conv_general_dilated(
+                x, w[:, :, :, None].transpose(0, 1, 3, 2).astype(x.dtype),
+                (1, 1), [(3, 3), (3, 3)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=self.dim,
+                preferred_element_type=jnp.float32) + b
+            mu = yc.mean(-1, keepdims=True)
+            d = yc - mu
+            rsig = jax.lax.rsqrt((d * d).mean(-1, keepdims=True) + 1e-6)
+            k0, b0 = _DenseParams(4 * self.dim, name="Dense_0")(self.dim)
+            k1, b1 = _DenseParams(self.dim, name="Dense_1")(4 * self.dim)
+            gamma = self.param("gamma", gamma_init,
+                               (self.dim,), jnp.float32)
+            return convnext_mlp_int8(yc.astype(self.dtype), residual,
+                                     k0, b0, k1, b1, gamma, act=act,
+                                     out_dtype=self.dtype,
+                                     ln=(mu, rsig, g, bt))
         if impl == "pallas":
             from givepose_tpu.ops.dwconv_ln_pallas import dwconv_ln
             y = dwconv_ln(x, w, b, g, bt)
         else:
             from givepose_tpu.ops.dwconv_ln_pallas import _dwconv_ln_xla
             y = _dwconv_ln_xla(x, w, b, g, bt)
-        from givepose_tpu.models.quant import make_dense
-        act = "gelu_exact" if self.gelu_exact else "gelu_tanh"
-        y = make_dense(self.quant, 4 * self.dim, self.dtype,
-                       name="Dense_0", act=act)(y)
-        if not self.quant:        # quant path fuses GELU in the kernel
-            y = nn.gelu(y, approximate=not self.gelu_exact)
-        y = make_dense(self.quant, self.dim, self.dtype, name="Dense_1")(y)
-        gamma = self.param("gamma",
-                           nn.initializers.constant(self.layer_scale_init),
-                           (self.dim,), jnp.float32)
+        y = nn.Dense(4 * self.dim, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="Dense_0")(y)
+        y = nn.gelu(y, approximate=not self.gelu_exact)
+        y = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="Dense_1")(y)
+        gamma = self.param("gamma", gamma_init, (self.dim,), jnp.float32)
         y = y * gamma.astype(self.dtype)
         if self.drop_path_rate > 0.0 and not deterministic:
             rng = self.make_rng("dropout")
