@@ -25,7 +25,8 @@ import tempfile
 import numpy as np
 
 
-def run(steps: int = 600, out_json: str = "OVERFIT.json") -> dict:
+def run(steps: int = 600, out_json: str = "OVERFIT.json",
+        steps_per_epoch: int = 10, lr: float = 1e-3) -> dict:
     from givepose_tpu.data.synthetic import (
         make_synthetic_eval,
         make_synthetic_nocs,
@@ -50,9 +51,13 @@ def run(steps: int = 600, out_json: str = "OVERFIT.json") -> dict:
         "--color_aug_prob", "0",
         "--data.roi_mask_pro", "0",
         "--batch_size", "4",
-        "--train_size", "4",
+        # several steps per epoch amortize the per-epoch host pipeline
+        # rebuild (the 4 images are drawn with repetition)
+        "--train_size", str(4 * steps_per_epoch),
         "--warmup_iters", "20",
-        "--total_epoch", str(steps),
+        "--lr", str(lr),
+        "--total_epoch", str(max(1, steps // steps_per_epoch)),
+        "--save_every", "1000000",
     ]
 
     from givepose_tpu.cli.train import train
@@ -71,7 +76,7 @@ def run(steps: int = 600, out_json: str = "OVERFIT.json") -> dict:
 
     sn_state = train_scale(
         common + ["--model_save", os.path.join(root, "run_sn"),
-                  "--log_every", log_every, "--lr", "1e-3"],
+                  "--log_every", log_every],
         max_steps=min(steps, 300))
 
     from givepose_tpu.cli.evaluate import evaluate

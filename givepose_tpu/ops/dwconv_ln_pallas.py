@@ -15,8 +15,8 @@ shifted VPU FMAs + lane-axis LN in one VMEM pass.  v5e measurements
     XLA:    1.06/0.42/0.11/0.06 ms by stage  -> 7.6 ms total
     Pallas: 1.97/0.95/0.47/0.22 ms (best)    -> 22  ms total
 XLA's dedicated convolution engine beats any VPU tap-loop here; the
-kernel stays selectable (ConvNeXtBlock dw_impl='pallas') as a negative
-result, like ops/convnext_block_pallas.py.
+kernel stays selectable (ConvNeXtBlock dw_impl='pallas') as a recorded
+negative result.
 """
 
 from __future__ import annotations

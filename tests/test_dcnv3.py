@@ -344,28 +344,3 @@ class TestDCNv3PallasBackward:
         for got, ref in zip(outs, refs):
             np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                        atol=2e-5)
-
-
-class TestFusedConvNeXtBlock:
-    def test_matches_flax_block(self, rng):
-        from givepose_tpu.models.convnext import ConvNeXtBlock
-        from givepose_tpu.ops.convnext_block_pallas import \
-            convnext_block_fused
-        b, h, c = 4, 8, 32
-        x = jnp.asarray(rng.normal(size=(b, h, h, c)), jnp.float32)
-        blk = ConvNeXtBlock(c, dtype=jnp.float32)
-        v = blk.init(jax.random.PRNGKey(0), x)
-        ref = np.asarray(blk.apply(v, x))
-        p = v["params"]
-        out = convnext_block_fused(
-            x, jnp.asarray(p["dw_kernel"])[:, :, None, :],
-            jnp.asarray(p["dw_bias"]),
-            jnp.asarray(p["dw_ln_scale"]),
-            jnp.asarray(p["dw_ln_bias"]),
-            jnp.asarray(p["Dense_0"]["kernel"]),
-            jnp.asarray(p["Dense_0"]["bias"]),
-            jnp.asarray(p["Dense_1"]["kernel"]),
-            jnp.asarray(p["Dense_1"]["bias"]),
-            jnp.asarray(p["gamma"]), batch_tile=2,
-            compute_dtype=jnp.float32, interpret=True)
-        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
