@@ -121,8 +121,15 @@ def make_synthetic_nocs(root: str, n_images: int = 4, seed: int = 0,
         cv2.imwrite(os.path.join(ivfc_dir, scene_rel,
                                  name + f"_coor_0.png"), enc_png)
 
-        model_pts = (rng.uniform(-0.5, 0.5, size=(256, 3))
-                     ).astype(np.float32)
+        # model points must be the actual box surface in NOCS space:
+        # fs_net_sizes derives real_size from these extents (random
+        # points would make ||real_size|| = sqrt(3)*nocs_scale and feed
+        # the scale/size heads targets 1.7x off the GT sRT convention)
+        face = rng.integers(0, 3, 256)
+        sgn = rng.choice([-0.5, 0.5], 256)
+        pts = rng.uniform(-0.5, 0.5, size=(256, 3))
+        pts[np.arange(256), face] = sgn
+        model_pts = (pts * size[None, :] / nocs_scale).astype(np.float32)
         models[model_name] = model_pts
 
         gts = {
