@@ -54,7 +54,11 @@ def build_model_batch(raw, key, cfg: Config, train=True):
         img_size=cfg.data.img_size, out_res=cfg.data.out_res, train=train,
         color_aug_prob=cfg.data.color_aug_prob if train else 0.0,
         resize_full=cfg.model.resize_full,
-        mask_pro=cfg.data.roi_mask_pro)
+        mask_pro=cfg.data.roi_mask_pro,
+        dzi_type=cfg.data.dzi_type,
+        dzi_pad_scale=cfg.data.dzi_pad_scale,
+        dzi_scale_ratio=cfg.data.dzi_scale_ratio,
+        dzi_shift_ratio=cfg.data.dzi_shift_ratio)
     return out
 
 

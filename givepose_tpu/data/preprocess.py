@@ -88,17 +88,28 @@ def crop_coord_2d(center, scale, out_res, im_w, im_h):
 
 @partial(jax.jit, static_argnames=("img_size", "out_res", "train",
                                    "color_aug_prob", "resize_full",
-                                   "mask_pro"))
+                                   "mask_pro", "dzi_type",
+                                   "dzi_pad_scale", "dzi_scale_ratio",
+                                   "dzi_shift_ratio"))
 def preprocess_batch(key, batch: dict, img_size: int = 256,
                      out_res: int = 64, train: bool = True,
                      color_aug_prob: float = 0.8, resize_full: bool = True,
-                     mask_pro: float = 0.5) -> dict:
+                     mask_pro: float = 0.5, dzi_type: str = "uniform",
+                     dzi_pad_scale: float = 1.5,
+                     dzi_scale_ratio: float = 0.25,
+                     dzi_shift_ratio: float = 0.25) -> dict:
     """Full-res host arrays -> model-ready crops, all on device.
 
     batch keys (stacked over B):
       image (B,H,W,3) uint8/f32, mask (B,H,W), nocs_coord (B,H,W,3),
       ivfc_coord (B,H,W,3), ivfc_mask (B,H,W), bbox (B,4 xyxy),
       plus pass-through metadata (cam_K, rotation, ...).
+
+    DZI knobs mirror the reference FLAGS (config/config.py:30-33) and
+    only apply when ``train``; eval mode uses the reference's
+    ``ori=True`` branch (tools/dataset_utils.py:44-48, NO pad factor —
+    note the detection-driven eval loader pads by DZI_PAD_SCALE instead,
+    load_data_eval.py:267, mirrored in eval/load_eval.py).
     """
     img = batch["image"].astype(jnp.float32)
     b, im_h, im_w = img.shape[:3]
@@ -108,7 +119,11 @@ def preprocess_batch(key, batch: dict, img_size: int = 256,
         img = color_augment(k_color, img, prob=color_aug_prob)
 
     if train:
-        center, scale = dzi_jitter(k_dzi, batch["bbox"], im_h, im_w)
+        center, scale = dzi_jitter(k_dzi, batch["bbox"], im_h, im_w,
+                                   pad_scale=dzi_pad_scale,
+                                   scale_ratio=dzi_scale_ratio,
+                                   shift_ratio=dzi_shift_ratio,
+                                   dzi_type=dzi_type)
     else:
         center, scale = dzi_jitter(k_dzi, batch["bbox"], im_h, im_w,
                                    dzi_type="none")
