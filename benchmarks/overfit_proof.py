@@ -53,8 +53,12 @@ def run(steps: int = 600, out_json: str = "OVERFIT.json",
         # crops 1.5x tighter than eval ever sees), no color aug, no
         # mask deformation
         "--DZI_TYPE", "uniform",
-        "--DZI_SCALE_RATIO", "0",
-        "--DZI_SHIFT_RATIO", "0",
+        # light jitter: the eval loader's cv2 crops differ from the
+        # train-time matmul resampler by ~1px rounding; a zero-jitter
+        # memorization is brittle to that (17-63deg eval rot error off a
+        # 3deg train fit), +-10% jitter makes the fit robust
+        "--DZI_SCALE_RATIO", "0.1",
+        "--DZI_SHIFT_RATIO", "0.1",
         "--color_aug_prob", "0",
         "--data.roi_mask_pro", "0",
         "--batch_size", "4",   # axon frontend retains ~9MB host-side per transferred image-batch; batch 4 keeps a 2500-step run under the 128GB host RAM (batch 6 OOMs ~step 1950)
