@@ -26,7 +26,9 @@ import numpy as np
 
 
 def run(steps: int = 600, out_json: str = "OVERFIT.json",
-        steps_per_epoch: int = 10, lr: float = 1e-3) -> dict:
+        steps_per_epoch: int = 10, lr: float = 1e-3,
+        img_size: int = 64, out_res: int = 16,
+        sn_steps: int | None = None) -> dict:
     from givepose_tpu.data.synthetic import (
         make_synthetic_eval,
         make_synthetic_nocs,
@@ -44,8 +46,8 @@ def run(steps: int = 600, out_json: str = "OVERFIT.json",
         "--dataset", "Real",
         "--dataset_dir", data_dir,
         "--data.ivfc_dir", ivfc_dir,
-        "--img_size", "64",
-        "--out_res", "16",
+        "--img_size", str(img_size),
+        "--out_res", str(out_res),
         "--model.compute_dtype", "float32",
         # determinism for memorization: zero-jitter DZI (uniform with
         # zero ratios keeps the 1.5x pad the eval loader applies — the
@@ -88,7 +90,7 @@ def run(steps: int = 600, out_json: str = "OVERFIT.json",
     sn_state = train_scale(
         common + ["--model_save", os.path.join(root, "run_sn"),
                   "--log_every", log_every],
-        max_steps=min(steps, 800))
+        max_steps=sn_steps or min(steps, 800))
 
     from givepose_tpu.cli.evaluate import evaluate
 
