@@ -28,7 +28,7 @@ import numpy as np
 def run(steps: int = 600, out_json: str = "OVERFIT.json",
         steps_per_epoch: int = 10, lr: float = 1e-3,
         img_size: int = 64, out_res: int = 16,
-        sn_steps: int | None = None) -> dict:
+        sn_steps: int | None = None, seed: int = 0) -> dict:
     from givepose_tpu.data.synthetic import (
         make_synthetic_eval,
         make_synthetic_nocs,
@@ -38,9 +38,9 @@ def run(steps: int = 600, out_json: str = "OVERFIT.json",
     n_images = 6
     # identical scenes in both splits: same seed drives the same rng draws
     data_dir, ivfc_dir = make_synthetic_nocs(root, n_images=n_images,
-                                             seed=0, split="train",
+                                             seed=seed, split="train",
                                              source="Real")
-    make_synthetic_eval(root, n_images=n_images, seed=0)
+    make_synthetic_eval(root, n_images=n_images, seed=seed)
 
     common = [
         "--dataset", "Real",
@@ -53,14 +53,12 @@ def run(steps: int = 600, out_json: str = "OVERFIT.json",
         # zero ratios keeps the 1.5x pad the eval loader applies — the
         # reference's DZI 'none' branch drops the pad and trains on
         # crops 1.5x tighter than eval ever sees), no color aug, no
-        # mask deformation
+        # mask deformation.  Eval crops now go through the SAME
+        # resampler arithmetic as training (ops/resample host mirrors),
+        # so zero jitter memorizes the exact pixels eval serves.
         "--DZI_TYPE", "uniform",
-        # light jitter: the eval loader's cv2 crops differ from the
-        # train-time matmul resampler by ~1px rounding; a zero-jitter
-        # memorization is brittle to that (17-63deg eval rot error off a
-        # 3deg train fit), +-10% jitter makes the fit robust
-        "--DZI_SCALE_RATIO", "0.1",
-        "--DZI_SHIFT_RATIO", "0.1",
+        "--DZI_SCALE_RATIO", "0",
+        "--DZI_SHIFT_RATIO", "0",
         "--color_aug_prob", "0",
         "--data.roi_mask_pro", "0",
         "--batch_size", "4",   # axon frontend retains ~9MB host-side per transferred image-batch; batch 4 keeps a 2500-step run under the 128GB host RAM (batch 6 OOMs ~step 1950)
@@ -73,35 +71,63 @@ def run(steps: int = 600, out_json: str = "OVERFIT.json",
         "--save_every", "1000000",
     ]
 
-    from givepose_tpu.cli.train import train
+    # Each phase runs in its OWN process: the axon frontend retains a
+    # host-side buffer per unique host->device transfer, so pose
+    # training + scale training + eval in one process OOMs the 128 GB
+    # host (observed: SIGKILL at sn step ~450 after a 2500-step pose
+    # run).  Checkpoints on disk carry state between phases — the same
+    # mechanism cli.train_durable uses for long campaigns.
+    import subprocess
 
     save = os.path.join(root, "run")
+    sn_save = os.path.join(root, "run_sn")
     log_every = str(max(1, min(50, steps)))
-    state = train(common + ["--model_save", save,
-                            "--log_every", log_every],
-                  max_steps=steps, backbone_variant="tiny")
+
+    import jax
+
+    env = dict(os.environ)
+    if (jax.config.jax_platforms or "") == "cpu":
+        env["OVERFIT_FORCE_CPU"] = "1"   # CPU smoke: propagate backend
+    prologue = ("import os\n"
+                "if os.environ.get('OVERFIT_FORCE_CPU'):\n"
+                "    import jax\n"
+                "    jax.config.update('jax_platforms', 'cpu')\n")
+
+    def phase(code):
+        r = subprocess.run([sys.executable, "-c", prologue + code],
+                           env=env,
+                           cwd=os.path.dirname(os.path.dirname(
+                               os.path.abspath(__file__))))
+        assert r.returncode == 0, f"phase failed rc={r.returncode}"
+
+    phase(f"""
+from givepose_tpu.cli.train import train
+train({common!r} + ["--model_save", {save!r}, "--log_every",
+      {log_every!r}], max_steps={steps}, backbone_variant="tiny")
+""")
     with open(os.path.join(save, "metrics.jsonl")) as f:
         last = json.loads(f.readlines()[-1])
     final_loss = last.get("total_loss", float("nan"))
     print(f"final train loss after {steps} steps: {final_loss:.4f}")
 
-    from givepose_tpu.cli.train_scale import train_scale
+    phase(f"""
+from givepose_tpu.cli.train_scale import train_scale
+train_scale({common!r} + ["--model_save", {sn_save!r}, "--log_every",
+            {log_every!r}], max_steps={sn_steps or min(steps, 800)})
+""")
 
-    sn_state = train_scale(
-        common + ["--model_save", os.path.join(root, "run_sn"),
-                  "--log_every", log_every],
-        max_steps=sn_steps or min(steps, 800))
-
+    from givepose_tpu.core.checkpoint import latest_checkpoint
     from givepose_tpu.cli.evaluate import evaluate
 
+    sn_ckpts = [d for d in os.listdir(sn_save)
+                if d.startswith("scale_ckpt_")]
+    sn_ckpts.sort(key=lambda d: int(d.split("_")[-1]))
     summary = evaluate(
         common + ["--model_save", os.path.join(root, "eval_out"),
-                  "--eval.max_instances", "4"],
-        backbone_variant="tiny",
-        posenet_variables={"params": state.params,
-                           "batch_stats": state.batch_stats},
-        scalenet_variables={"params": sn_state.params,
-                            "batch_stats": sn_state.batch_stats})
+                  "--eval.max_instances", "4",
+                  "--resume_model", latest_checkpoint(save),
+                  "--sn_path", os.path.join(sn_save, sn_ckpts[-1])],
+        backbone_variant="tiny")
     absolute = summary["absolute"]
     print("absolute mAP:", absolute)
 
@@ -130,6 +156,67 @@ def run(steps: int = 600, out_json: str = "OVERFIT.json",
     }
     print("present-class mAP:", present_mAP)
 
+    # --- bisection diagnostics: re-score the cached predictions with GT
+    # substituted for one factor at a time (scale-net metric scale, size
+    # head extents, full pose), isolating which term limits IoU.  The
+    # fixture has one instance per image and GT-as-detections, so pred i
+    # matches gt i by construction.
+    from givepose_tpu.eval.harness import compute_degree_cm_map
+    from givepose_tpu.eval.metrics import SYNSET_NAMES
+
+    import glob
+
+    cache = glob.glob(os.path.join(root, "eval_out", "eval_result_*",
+                                   "pred_result.pkl"))[0]
+    with open(cache, "rb") as f:
+        results = pickle.load(f)
+
+    def rescore(make_variant):
+        import copy
+
+        variant = []
+        for r in results:
+            r2 = copy.deepcopy(r)
+            make_variant(r2)
+            variant.append(r2)
+        iou_aps, pose_aps = compute_degree_cm_map(
+            variant, SYNSET_NAMES, (5, 10, 360), (5, 10, 1e4),
+            (0.1, 0.25, 0.5, 0.75), iou_pose_thres=0.1,
+            use_matches_for_pose=True)
+        return {
+            "IoU25": float(np.mean(np.asarray(iou_aps)[rows, 1])) * 100,
+            "IoU50": float(np.mean(np.asarray(iou_aps)[rows, 2])) * 100,
+            "IoU75": float(np.mean(np.asarray(iou_aps)[rows, 3])) * 100,
+            "10d10cm": float(np.mean(
+                np.asarray(pose_aps)[rows, 1, 1])) * 100,
+        }
+
+    def sub_gt_scale(r):
+        n = min(len(r["pred_RTs"]), len(r["gt_RTs"]))
+        for i in range(n):
+            s_pred = np.cbrt(np.linalg.det(r["pred_RTs"][i, :3, :3]))
+            s_gt = np.cbrt(np.linalg.det(r["gt_RTs"][i][:3, :3]))
+            r["pred_RTs"][i, :3, :] *= s_gt / max(s_pred, 1e-8)
+
+    def sub_gt_size(r):
+        n = min(len(r["pred_scales"]), len(r["gt_scales"]))
+        r["pred_scales"][:n] = np.asarray(r["gt_scales"])[:n]
+
+    def sub_gt_pose(r):
+        n = min(len(r["pred_RTs"]), len(r["gt_RTs"]))
+        r["pred_RTs"][:n] = np.asarray(r["gt_RTs"])[:n]
+
+    diagnostics = {
+        "gt_scale": rescore(sub_gt_scale),
+        "gt_size": rescore(sub_gt_size),
+        "gt_scale_and_size": rescore(lambda r: (sub_gt_scale(r),
+                                                sub_gt_size(r))),
+        "gt_pose_and_scale": rescore(sub_gt_pose),
+    }
+    print("diagnostics (GT-substitution bisection):")
+    for k, v in diagnostics.items():
+        print(f"  {k}: {v}")
+
     import jax
 
     out = {
@@ -137,8 +224,10 @@ def run(steps: int = 600, out_json: str = "OVERFIT.json",
         "steps": steps,
         "final_loss": float(final_loss),
         "absolute_mAP": absolute,
+        "seed": seed,
         "present_classes": rows,
         "present_class_mAP": present_mAP,
+        "diagnostics": diagnostics,
         "pass_iou25": present_mAP["IoU25"] >= 95.0,
         "pass_10d10cm": present_mAP["10d10cm"] >= 80.0,
     }
@@ -151,4 +240,5 @@ def run(steps: int = 600, out_json: str = "OVERFIT.json",
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 600
     dst = sys.argv[2] if len(sys.argv) > 2 else "OVERFIT.json"
-    run(n, dst)
+    sd = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+    run(n, dst, seed=sd)

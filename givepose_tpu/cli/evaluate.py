@@ -24,6 +24,28 @@ from givepose_tpu.eval import (
 from givepose_tpu.models import PoseNet, ScaleNet
 
 
+def _restore_variables(path: str, template_variables):
+    """Load model variables from either a raw-variables checkpoint or a
+    cli.train/train_scale TrainState checkpoint (step/params/batch_stats/
+    opt_state) — the latter is what the training CLIs write, so eval must
+    accept it directly."""
+    import numpy as np
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    try:
+        restored = ckptr.restore(os.path.abspath(path))
+    except Exception:
+        restored = ckptr.restore(
+            os.path.abspath(path),
+            jax.tree_util.tree_map(np.asarray, template_variables))
+    out = {"params": restored["params"]}
+    bs = restored.get("batch_stats")
+    if bs:
+        out["batch_stats"] = bs
+    return out
+
+
 def evaluate(argv=None, backbone_variant: str = "base",
              posenet_variables=None, scalenet_variables=None):
     cfg = parse_overrides(Config(), argv if argv is not None
@@ -73,17 +95,10 @@ def evaluate(argv=None, backbone_variant: str = "base",
         variables = model.init(jax.random.PRNGKey(0), jb)
         sn_vars = scale_model.init(jax.random.PRNGKey(1), jb)
         if cfg.train.resume_model:
-            import orbax.checkpoint as ocp
-            ckptr = ocp.StandardCheckpointer()
-            variables = ckptr.restore(
-                os.path.abspath(cfg.train.resume_model),
-                jax.tree_util.tree_map(np.asarray, variables))
+            variables = _restore_variables(cfg.train.resume_model,
+                                           variables)
         if cfg.model.sn_path:
-            import orbax.checkpoint as ocp
-            ckptr = ocp.StandardCheckpointer()
-            sn_vars = ckptr.restore(
-                os.path.abspath(cfg.model.sn_path),
-                jax.tree_util.tree_map(np.asarray, sn_vars))
+            sn_vars = _restore_variables(cfg.model.sn_path, sn_vars)
 
     results = run_inference(reader, model, variables, scale_model,
                             sn_vars, cfg, source=source,

@@ -164,8 +164,8 @@ def preprocess_batch(key, batch: dict, img_size: int = 256,
                                     jnp.float32), "bilinear")
         wx = resize_matrix(im_w, img_size, a_full,
                            0.5 * a_full - 0.5, "bilinear")
-        full = jnp.einsum("boh,bhwc->bowc", wy, img)
-        full = jnp.einsum("bpw,bowc->bopc", wx, full)
+        full = jnp.einsum("boh,bhwc->bowc", wy, img, precision="highest")
+        full = jnp.einsum("bpw,bowc->bopc", wx, full, precision="highest")
     else:
         full = img
     full_img = (full / 255.0 - IMG_MEAN) / IMG_STD

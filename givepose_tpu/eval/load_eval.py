@@ -32,6 +32,11 @@ from givepose_tpu.data.records import (
     _FSNET_UNITS,
 )
 from givepose_tpu.geometry.symmetry import sym_info
+from givepose_tpu.ops.resample import (
+    crop_coord_2d_np,
+    crop_resize_affine_np,
+    resize_image_np,
+)
 
 
 def load_depth(depth_path: str) -> np.ndarray | None:
@@ -131,6 +136,14 @@ def build_instance_batch(image: np.ndarray, det: dict, cam_k: np.ndarray,
     interp, load_data_eval.py:258-283) but pads the instance axis to
     ``max_instances`` and returns a ``valid`` mask for static-shape jit.
     Returns (batch dict, kept_indices) or None if no instance.
+
+    All crops go through ops.resample's host mirrors of the device
+    matmul resampler, so eval inputs are numerically identical to the
+    training preprocess graph (the reference uses one
+    crop_resize_by_warp_affine on both paths,
+    tools/dataset_utils.py:101-114).  The raw image is cropped FIRST and
+    normalized after, matching training (out-of-image border pixels then
+    normalize to -mean/std on both sides).
     """
     im_h, im_w = image.shape[:2]
     cls_ids = np.asarray(det["pred_class_ids"])
@@ -143,14 +156,10 @@ def build_instance_batch(image: np.ndarray, det: dict, cam_k: np.ndarray,
         return None
 
     img_f = image.astype(np.float32)
-    norm = (img_f / 255.0 - IMG_MEAN) / IMG_STD
 
     def crop(arr, center, scale, out, nearest=True):
-        a = out / scale
-        m = np.array([[a, 0, out * 0.5 - a * center[0]],
-                      [0, a, out * 0.5 - a * center[1]]], np.float32)
-        flag = cv2.INTER_NEAREST if nearest else cv2.INTER_LINEAR
-        return cv2.warpAffine(arr, m, (out, out), flags=flag)
+        return crop_resize_affine_np(arr, center, scale, out,
+                                     "nearest" if nearest else "bilinear")
 
     b = {
         "roi_img": np.zeros((max_instances, img_size, img_size, 3),
@@ -184,13 +193,6 @@ def build_instance_batch(image: np.ndarray, det: dict, cam_k: np.ndarray,
                              (max_instances, 1))
         depth_m = depth.astype(np.float32) / 1000.0
 
-    # normalized pixel grid (reference get_2d_coord_np semantics)
-    gx = (np.arange(im_w, dtype=np.float32) - (im_w - 1) / 2) \
-        / ((im_w - 1) / 2)
-    gy = (np.arange(im_h, dtype=np.float32) - (im_h - 1) / 2) \
-        / ((im_h - 1) / 2)
-    grid = np.stack(np.meshgrid(gx, gy), axis=-1)      # (H, W, 2)
-
     for slot, j in enumerate(keep):
         cat_id = int(cls_ids[j])
         y1, x1, y2, x2 = det["pred_bboxes"][j]
@@ -201,10 +203,12 @@ def build_instance_batch(image: np.ndarray, det: dict, cam_k: np.ndarray,
                     max(im_h, im_w)) * 1.0
         center = np.array([cx, cy], np.float32)
 
-        b["roi_img"][slot] = crop(norm, center, scale, img_size)
+        roi = crop(img_f, center, scale, img_size)
+        b["roi_img"][slot] = (roi / 255.0 - IMG_MEAN) / IMG_STD
         mask = det["pred_masks"][:, :, j].astype(np.float32)
         b["roi_mask"][slot, :, :, 0] = crop(mask, center, scale, img_size)
-        b["roi_coord_2d"][slot] = crop(grid, center, scale, out_res)
+        b["roi_coord_2d"][slot] = crop_coord_2d_np(center, scale, out_res,
+                                                   im_w, im_h)
         b["bbox_center"][slot] = center
         b["img_scale"][slot] = scale
         b["resize_ratio"][slot] = out_res / scale
@@ -219,7 +223,7 @@ def build_instance_batch(image: np.ndarray, det: dict, cam_k: np.ndarray,
             b["roi_mask_out"][slot] = crop(mask, center, scale, out_res)
 
     if resize_full:
-        full = cv2.resize(img_f, (img_size, img_size))
+        full = resize_image_np(img_f, img_size)
     else:
         full = img_f
     full = (full / 255.0 - IMG_MEAN) / IMG_STD
