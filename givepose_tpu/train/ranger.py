@@ -36,7 +36,18 @@ def centralize_gradients(use_gc: bool = True, gc_conv_only: bool = False):
 
         def gc(g):
             if use_gc and g.ndim > min_ndim:
-                axes = tuple(range(1, g.ndim))
+                # Reference semantics (ranger2020.py: grad.mean over
+                # dims 1.. of a torch (out, in, ...) tensor): per OUTPUT
+                # unit, subtract the mean over all INPUT dims.  Flax
+                # kernels are out-LAST ((in, out) Dense, (H, W, in, out)
+                # Conv), so the input dims are all but the last axis.
+                # The torch-axis translation used before r3 subtracted
+                # the mean over the *output* axis instead — which zeroes
+                # the gradient of any single-output kernel outright
+                # (ConvPnPNet's fc_z (featdim, 1) z-head trained on its
+                # bias alone; the cause of the r2 overfit-proof
+                # translation stall/instability).
+                axes = tuple(range(0, g.ndim - 1))
                 return g - jnp.mean(g, axis=axes, keepdims=True)
             return g
 

@@ -1,0 +1,218 @@
+"""Remaining entries of the reference solver zoo as optax transforms.
+
+The reference ships two near-duplicate solver trees
+(tools/torch_utils/solver/ + network/torch_utils/solver/, SURVEY.md §2.5)
+of which only Ranger is used by the training config.  The zoo is still
+public surface (selectable via ``optimizer_type``), so the remaining
+members are provided here as composable optax gradient transformations:
+
+  * AdamP / SGDP (tools/torch_utils/solver/adamp.py, sgdp.py): Adam/SGD
+    whose update is projected onto the tangent space of scale-invariant
+    weights when grad ~ orthogonal to the weight (NAVER AdamP, public
+    algorithm);
+  * RaLamb (ralamb.py): RAdam with a LARS-style layer trust ratio;
+  * SGD_GC (sgd_gc.py): SGD + gradient centralization;
+  * rmsprop_tf (rmsprop_tf.py): TF-flavored RMSprop (eps inside sqrt);
+  * RangerAdaBelief (ranger_adabelief.py): AdaBelief + gradient
+    centralization + Lookahead.
+
+All are jit-compatible: data-dependent branches (AdamP's projection
+trigger, RAdam's rectification threshold) are expressed as arithmetic
+selects rather than Python control flow.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from givepose_tpu.train.ranger import centralize_gradients, lookahead
+
+
+def _channel_cos(a, b, eps):
+    """Row-wise |cosine| over the channel view (C, -1)."""
+    x = a.reshape(a.shape[0], -1)
+    y = b.reshape(b.shape[0], -1)
+    num = jnp.abs(jnp.sum(x * y, axis=1))
+    den = jnp.maximum(jnp.linalg.norm(x, axis=1)
+                      * jnp.linalg.norm(y, axis=1), eps)
+    return num / den
+
+
+def _project_scale_invariant(p, g, perturb, delta, wd_ratio, eps):
+    """AdamP projection (adamp.py:34-48): if grad is ~orthogonal to the
+    weight in the channel or layer view, remove the radial component of
+    the update and shrink weight decay by ``wd_ratio``.
+
+    Returns (perturb', wd) with the branch as an arithmetic select."""
+    if p.ndim <= 1:
+        return perturb, jnp.float32(1.0)
+
+    def proj(view_rows):
+        pn_rows = p.reshape(view_rows, -1)
+        norms = jnp.linalg.norm(pn_rows, axis=1, keepdims=True) + eps
+        pn = (pn_rows / norms).reshape(p.shape)
+        rad = jnp.sum((pn * perturb).reshape(view_rows, -1), axis=1)
+        rad = rad.reshape((view_rows,) + (1,) * (p.ndim - 1))
+        return perturb - pn * rad
+
+    c = p.shape[0]
+    cos_ch = jnp.max(_channel_cos(g, p, eps))
+    cos_ly = jnp.max(_channel_cos(g.reshape(1, -1), p.reshape(1, -1), eps))
+    thr_ch = delta / jnp.sqrt(jnp.float32(p.reshape(c, -1).shape[1]))
+    thr_ly = delta / jnp.sqrt(jnp.float32(p.size))
+
+    use_ch = cos_ch < thr_ch
+    use_ly = jnp.logical_and(jnp.logical_not(use_ch), cos_ly < thr_ly)
+    out = jnp.where(use_ch, proj(c),
+                    jnp.where(use_ly, proj(1), perturb))
+    wd = jnp.where(jnp.logical_or(use_ch, use_ly),
+                   jnp.float32(wd_ratio), jnp.float32(1.0))
+    return out, wd
+
+
+class AdamPState(NamedTuple):
+    count: jnp.ndarray
+    mu: optax.Updates
+    nu: optax.Updates
+
+
+def adamp(learning_rate, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.0,
+          delta=0.1, wd_ratio=0.1,
+          nesterov=False) -> optax.GradientTransformation:
+    """AdamP (reference tools/torch_utils/solver/adamp.py:13-106)."""
+
+    def init(params):
+        z = jax.tree_util.tree_map(jnp.zeros_like, params)
+        return AdamPState(jnp.zeros([], jnp.int32), z,
+                          jax.tree_util.tree_map(jnp.zeros_like, params))
+
+    def update(grads, state, params):
+        count = state.count + 1
+        lr = (learning_rate(count) if callable(learning_rate)
+              else learning_rate)
+        bc1 = 1 - b1 ** count.astype(jnp.float32)
+        bc2 = 1 - b2 ** count.astype(jnp.float32)
+        mu = jax.tree_util.tree_map(
+            lambda m, g: b1 * m + (1 - b1) * g, state.mu, grads)
+        nu = jax.tree_util.tree_map(
+            lambda v, g: b2 * v + (1 - b2) * g * g, state.nu, grads)
+
+        def leaf(p, g, m, v):
+            denom = jnp.sqrt(v) / jnp.sqrt(bc2) + eps
+            step_size = lr / bc1
+            if nesterov:
+                perturb = (b1 * m + (1 - b1) * g) / denom
+            else:
+                perturb = m / denom
+            perturb, wd = _project_scale_invariant(
+                p, g, perturb, delta, wd_ratio, eps)
+            upd = -step_size * perturb
+            if weight_decay > 0:
+                upd = upd - lr * weight_decay * wd * p
+            return upd
+
+        updates = jax.tree_util.tree_map(leaf, params, grads, mu, nu)
+        return updates, AdamPState(count, mu, nu)
+
+    return optax.GradientTransformation(init, update)
+
+
+class SGDPState(NamedTuple):
+    count: jnp.ndarray
+    momentum: optax.Updates
+
+
+def sgdp(learning_rate, momentum=0.9, dampening=0.0, eps=1e-8,
+         weight_decay=0.0, delta=0.1, wd_ratio=0.1,
+         nesterov=False) -> optax.GradientTransformation:
+    """SGDP (reference tools/torch_utils/solver/sgdp.py, same projection
+    as AdamP on an SGD-momentum update)."""
+
+    def init(params):
+        return SGDPState(jnp.zeros([], jnp.int32),
+                         jax.tree_util.tree_map(jnp.zeros_like, params))
+
+    def update(grads, state, params):
+        count = state.count + 1
+        lr = (learning_rate(count) if callable(learning_rate)
+              else learning_rate)
+        buf = jax.tree_util.tree_map(
+            lambda b, g: momentum * b + (1 - dampening) * g,
+            state.momentum, grads)
+
+        def leaf(p, g, b):
+            d_p = momentum * b + g if nesterov else b
+            d_p, wd = _project_scale_invariant(
+                p, g, d_p, delta, wd_ratio, eps)
+            upd = -lr * d_p
+            if weight_decay > 0:
+                upd = upd - lr * weight_decay * wd * p
+            return upd
+
+        updates = jax.tree_util.tree_map(leaf, params, grads, buf)
+        return updates, SGDPState(count, buf)
+
+    return optax.GradientTransformation(init, update)
+
+
+def ralamb(learning_rate, b1=0.9, b2=0.999, eps=1e-8,
+           weight_decay=0.0) -> optax.GradientTransformation:
+    """RaLamb (reference ralamb.py): RAdam step scaled per-layer by the
+    LARS trust ratio ||p|| / ||update||."""
+    base = optax.radam(learning_rate=learning_rate, b1=b1, b2=b2, eps=eps)
+
+    def init(params):
+        return base.init(params)
+
+    def update(grads, state, params):
+        if weight_decay > 0:
+            grads = jax.tree_util.tree_map(
+                lambda g, p: g + weight_decay * p, grads, params)
+        updates, state = base.update(grads, state, params)
+
+        def trust(u, p):
+            if p.ndim == 0:
+                return u
+            w_norm = jnp.linalg.norm(p)
+            u_norm = jnp.linalg.norm(u)
+            ratio = jnp.where((w_norm > 0) & (u_norm > 0),
+                              w_norm / (u_norm + eps), 1.0)
+            return u * ratio
+
+        return jax.tree_util.tree_map(trust, updates, params), state
+
+    return optax.GradientTransformation(init, update)
+
+
+def sgd_gc(learning_rate, momentum=0.9,
+           weight_decay=0.0) -> optax.GradientTransformation:
+    """SGD with gradient centralization (reference sgd_gc.py)."""
+    return optax.chain(
+        centralize_gradients(),
+        optax.sgd(learning_rate, momentum=momentum) if weight_decay == 0
+        else optax.chain(optax.add_decayed_weights(weight_decay),
+                         optax.sgd(learning_rate, momentum=momentum)))
+
+
+def rmsprop_tf(learning_rate, decay=0.9, momentum=0.9,
+               eps=1e-10) -> optax.GradientTransformation:
+    """TF-flavored RMSprop (reference rmsprop_tf.py): epsilon inside the
+    sqrt, accumulator init handled by optax's initial_scale."""
+    return optax.rmsprop(learning_rate, decay=decay, momentum=momentum,
+                         eps=eps, initial_scale=1.0, eps_in_sqrt=True)
+
+
+def ranger_adabelief(learning_rate, b1=0.9, b2=0.999, eps=1e-16,
+                     weight_decay=0.0, sync_period=6,
+                     slow_step=0.5) -> optax.GradientTransformation:
+    """RangerAdaBelief (reference ranger_adabelief.py): AdaBelief +
+    gradient centralization + Lookahead slow weights."""
+    stages = [centralize_gradients()]
+    if weight_decay > 0:
+        stages.append(optax.add_decayed_weights(weight_decay))
+    stages.append(optax.adabelief(learning_rate, b1=b1, b2=b2, eps=eps))
+    return lookahead(optax.chain(*stages), alpha=slow_step, k=sync_period)

@@ -65,6 +65,15 @@ def make_optimizer(cfg: Config, steps_per_epoch: int | None = None
     elif t.optimizer_type.lower() == "lookahead_adam":
         from givepose_tpu.train.ranger import lookahead
         opt = lookahead(optax.adam(schedule))
+    elif t.optimizer_type.lower() in ("adamp", "sgdp", "ralamb", "sgd_gc",
+                                      "rmsprop_tf", "ranger_adabelief"):
+        from givepose_tpu.train import solvers
+        make = getattr(solvers, t.optimizer_type.lower())
+        if t.optimizer_type.lower() in ("adamp", "sgdp",
+                                        "ranger_adabelief", "ralamb"):
+            opt = make(schedule, weight_decay=t.weight_decay)
+        else:
+            opt = make(schedule)
     else:
         raise ValueError(t.optimizer_type)
     opt = optax.chain(optax.clip_by_global_norm(t.grad_clip_norm), opt)

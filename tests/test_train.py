@@ -31,7 +31,11 @@ def numpy_ranger_reference(params, grads_seq, lr=0.01, b1=0.95, b2=0.999,
         for n in p:
             g = grads[n].astype(np.float64)
             if g.ndim > 1:
-                g = g - g.mean(axis=tuple(range(1, g.ndim)), keepdims=True)
+                # GC: per output unit (last axis in jax layouts), mean
+                # over input dims — reference ranger2020.py does
+                # mean(dim=1..) on torch (out, in) tensors
+                g = g - g.mean(axis=tuple(range(0, g.ndim - 1)),
+                               keepdims=True)
             m[n] = b1 * m[n] + (1 - b1) * g
             v2[n] = b2 * v2[n] + (1 - b2) * g * g
             beta2_t = b2 ** t
@@ -80,16 +84,28 @@ class TestRanger:
             np.testing.assert_allclose(np.asarray(p[n]), expected[n],
                                        rtol=1e-4, atol=1e-6)
 
-    def test_gc_zero_means_rows(self, rng):
+    def test_gc_zero_means_per_output(self, rng):
         gc = centralize_gradients()
         g = {"w": jnp.asarray(rng.normal(size=(4, 5)), jnp.float32),
              "b": jnp.asarray(rng.normal(size=(5,)), jnp.float32)}
         out, _ = gc.update(g, gc.init(g))
+        # per output unit (last axis), the mean over input dims is zero
         np.testing.assert_allclose(
-            np.asarray(out["w"]).mean(axis=1), 0.0, atol=1e-6)
+            np.asarray(out["w"]).mean(axis=0), 0.0, atol=1e-6)
         # 1-d params untouched
         np.testing.assert_allclose(np.asarray(out["b"]),
                                    np.asarray(g["b"]))
+
+    def test_gc_preserves_single_output_kernel_gradient(self, rng):
+        """Regression for the r2 translation stall: a (in, 1) Dense
+        kernel (ConvPnPNet fc_z) must NOT have its gradient zeroed by
+        centralization."""
+        gc = centralize_gradients()
+        g = {"w": jnp.asarray(rng.normal(size=(256, 1)), jnp.float32)}
+        out, _ = gc.update(g, gc.init(g))
+        assert float(jnp.max(jnp.abs(out["w"]))) > 0.1
+        np.testing.assert_allclose(np.asarray(out["w"]).mean(axis=0),
+                                   0.0, atol=1e-6)
 
     def test_radam_early_steps_non_adaptive(self, rng):
         """For b2=0.999, N_sma <= 5 until step 5 — updates must be plain
@@ -102,6 +118,82 @@ class TestRanger:
         # step 1: m = 0.05*g, step_size = 1/(1-0.95) = 20 -> update == g
         np.testing.assert_allclose(np.asarray(updates["w"]),
                                    np.asarray(g["w"]), rtol=1e-5)
+
+
+class TestSolverZoo:
+    """The remaining reference solver-zoo members (train/solvers.py)."""
+
+    NAMES = ("adamp", "sgdp", "ralamb", "sgd_gc", "rmsprop_tf",
+             "ranger_adabelief")
+
+    @pytest.mark.parametrize("name", NAMES)
+    def test_converges_on_quadratic(self, name, rng):
+        from givepose_tpu.train import solvers
+
+        opt = getattr(solvers, name)(0.05)
+        target = jnp.asarray(rng.normal(size=(4, 3)), jnp.float32)
+        p = {"w": jnp.zeros((4, 3), jnp.float32)}
+        state = opt.init(p)
+
+        def loss(params):
+            return jnp.sum((params["w"] - target) ** 2)
+
+        l0 = float(loss(p))
+        for _ in range(60):
+            g = jax.grad(loss)(p)
+            updates, state = opt.update(g, state, p)
+            p = optax.apply_updates(p, updates)
+        assert float(loss(p)) < 0.2 * l0, (name, float(loss(p)), l0)
+
+    @pytest.mark.parametrize("name", NAMES)
+    def test_selectable_from_config(self, name):
+        from givepose_tpu.train.step import make_optimizer
+
+        cfg = Config()
+        object.__setattr__(cfg.train, "optimizer_type", name)
+        opt = make_optimizer(cfg, steps_per_epoch=10)
+        p = {"w": jnp.ones((3, 2))}
+        state = opt.init(p)
+        updates, _ = opt.update({"w": jnp.ones((3, 2))}, state, p)
+        assert updates["w"].shape == (3, 2)
+
+    def test_adamp_matches_reference_torch(self, rng):
+        """Differential: our optax AdamP vs the GENUINE reference
+        tools/torch_utils/solver/adamp.py on identical grads."""
+        import importlib.util
+
+        import torch
+
+        spec = importlib.util.spec_from_file_location(
+            "ref_adamp",
+            "/root/reference/tools/torch_utils/solver/adamp.py")
+        ref_adamp = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ref_adamp)
+
+        from givepose_tpu.train.solvers import adamp
+
+        w0 = rng.normal(size=(4, 6)).astype(np.float32)
+        grads_seq = [rng.normal(size=(4, 6)).astype(np.float32)
+                     for _ in range(8)]
+        # also exercise the projection branch: a grad ~orthogonal to p
+        grads_seq.append(np.zeros((4, 6), np.float32))
+
+        pt = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+        topt = ref_adamp.AdamP([pt], lr=0.01, weight_decay=0.01)
+        for g in grads_seq:
+            pt.grad = torch.from_numpy(g.copy())
+            topt.step()
+
+        opt = adamp(0.01, weight_decay=0.01)
+        p = {"w": jnp.asarray(w0)}
+        state = opt.init(p)
+        for g in grads_seq:
+            updates, state = opt.update({"w": jnp.asarray(g)}, state, p)
+            p = optax.apply_updates(p, updates)
+
+        np.testing.assert_allclose(np.asarray(p["w"]),
+                                   pt.detach().numpy(), rtol=1e-4,
+                                   atol=1e-5)
 
 
 class TestSchedule:
