@@ -67,6 +67,11 @@ def train(argv=None, max_steps: int | None = None,
     initialize_distributed()   # no-op outside a multi-host launch
     cfg = parse_overrides(Config(), argv if argv is not None
                           else sys.argv[1:])
+    if cfg.model.quant_dense:
+        raise ValueError(
+            "quant_dense is an int8 SERVING mode: gradients through the "
+            "activation rounding are zero, so training with it silently "
+            "freezes the quantized weights. Unset it for training.")
     os.makedirs(cfg.train.model_save, exist_ok=True)
     logger = setup_logger(
         "train", os.path.join(cfg.train.model_save, "log_train.txt"))
@@ -105,6 +110,15 @@ def train(argv=None, max_steps: int | None = None,
     if ckpt:
         state = restore_checkpoint(ckpt, state)
         start_epoch = cfg.train.resume_point
+        if start_epoch == 0 and int(state.step) > 0:
+            # derive the epoch from the checkpointed step (exact resume;
+            # the reference instead restarts its LR schedule, SURVEY §5)
+            spe = max(cfg.train.train_size // cfg.train.batch_size, 1)
+            start_epoch = int(state.step) // spe
+        # replay the sampler's epoch draws so epoch E sees the same
+        # index stream the uninterrupted run would have fed it
+        for _ in range(start_epoch):
+            pipeline.sampler.epoch_indices()
         logger.info("resumed from %s at epoch %d", ckpt, start_epoch)
 
     timer = StepTimer()
@@ -149,6 +163,15 @@ def train(argv=None, max_steps: int | None = None,
             save_checkpoint(os.path.join(cfg.train.model_save,
                                          f"ckpt_{global_step}"), state)
             logger.info("saved checkpoint at epoch %d", epoch)
+        if (cfg.train.restart_every
+                and (epoch + 1) % cfg.train.restart_every == 0
+                and epoch != cfg.train.total_epoch - 1):
+            save_checkpoint(os.path.join(cfg.train.model_save,
+                                         f"ckpt_{global_step}"), state)
+            logger.info("restart_every: exiting cleanly after epoch %d "
+                        "(resume with --resume 1)", epoch)
+            metrics_log.close()
+            raise SystemExit(75)   # EX_TEMPFAIL: wrapper should resume
     metrics_log.close()
     return state
 

@@ -124,6 +124,11 @@ class TrainConfig:
     # TPU-native additions (no reference equivalent; see SURVEY.md §2.8)
     mesh_shape: tuple = ()                # () -> all local devices on one 'data' axis
     remat_backbone: bool = True           # jax.checkpoint over the backbone
+    # durability: exit cleanly (code 75) every N epochs after saving a
+    # checkpoint, so cli.train_durable can re-exec a fresh process —
+    # the practical mitigation for the axon frontend's host-side
+    # transfer retention (long runs grow host RSS by ~batch-bytes/step)
+    restart_every: int = 0                # epochs; 0 = disabled
 
 
 @dataclass(frozen=True)
@@ -228,6 +233,7 @@ _FLAG_ALIASES: dict[str, tuple[str, str]] = {
     "save_every": ("train", "save_every"),
     "log_every": ("train", "log_every"),
     "model_save": ("train", "model_save"),
+    "restart_every": ("train", "restart_every"),
     "resume": ("train", "resume"),
     "resume_model": ("train", "resume_model"),
     "resume_point": ("train", "resume_point"),
