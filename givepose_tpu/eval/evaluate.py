@@ -205,7 +205,10 @@ def evaluate_results(results, cfg: Config, log=print):
     log("scale-normalized mAP (shift in % of diameter): "
         + ", ".join(f"{k}={v:.1f}" for k, v in relative.items()))
 
-    if cfg.eval.result_dir:
+    # plot only full-resolution curves (the sparse default threshold
+    # lists carry 360deg/1e4cm sentinels that would render as 3-point
+    # lines; the reference only plots the precise sweep)
+    if cfg.eval.result_dir and cfg.eval.eval_precise:
         from givepose_tpu.eval.visualize import plot_map_curves
 
         png = plot_map_curves(iou_aps, pose_aps, cfg.eval.result_dir,

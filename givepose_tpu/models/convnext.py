@@ -76,6 +76,12 @@ class ConvNeXtBlock(nn.Module):
         act = "gelu_exact" if self.gelu_exact else "gelu_tanh"
         gamma_init = nn.initializers.constant(self.layer_scale_init)
         if self.quant:
+            # inference-only: jnp.round's gradient is zero (training
+            # would silently stop updating the MLP weights) and the
+            # fused kernel skips stochastic depth
+            assert deterministic, (
+                "quant=True is an int8 serving mode; apply with "
+                "deterministic=True (training through it is broken)")
             # fused int8 serving path: the whole MLP tail (both matmuls,
             # GELU, layer scale, residual) is one Pallas kernel — keeping
             # the 4C intermediate in VMEM is what makes int8 pay off.

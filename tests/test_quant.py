@@ -88,12 +88,27 @@ class TestQuantBackbone:
         from givepose_tpu.models.convnext import ConvNeXt
 
         x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)), jnp.float32)
-        kw = dict(depths=(1, 1), dims=(32, 64))
+        # quant_min_dim below both stage widths so EVERY block takes the
+        # fused int8 path (the default 512 would silently activate zero
+        # blocks at these test dims and compare identical models)
+        kw = dict(depths=(1, 1), dims=(32, 64), quant_min_dim=32)
         net = ConvNeXt(quant=False, **kw)
         qnet = ConvNeXt(quant=True, **kw)
         v = net.init(jax.random.PRNGKey(0), x)
         ref = np.asarray(net.apply(v, x), np.float32)
         got = np.asarray(qnet.apply(v, x), np.float32)   # same tree!
         rel = np.max(np.abs(got - ref)) / (np.max(np.abs(ref)) + 1e-9)
-        # residual-dominated blocks keep quant noise small
+        # residual-dominated blocks keep quant noise small...
         assert rel < 0.05, rel
+        # ...but nonzero: proves the int8 path actually ran
+        assert rel > 1e-6, "quant path did not activate"
+
+    def test_quant_branch_rejects_training(self, rng):
+        from givepose_tpu.models.convnext import ConvNeXt
+
+        x = jnp.asarray(rng.normal(size=(1, 16, 16, 3)), jnp.float32)
+        qnet = ConvNeXt(quant=True, depths=(1,), dims=(32,),
+                        quant_min_dim=32)
+        v = qnet.init(jax.random.PRNGKey(0), x)
+        with pytest.raises(AssertionError, match="serving mode"):
+            qnet.apply(v, x, deterministic=False)

@@ -106,16 +106,25 @@ def _make_batch(rng, bs=2):
 
 
 class TestPoseNetDifferential:
-    def test_forward_matches_reference(self, ref_modules):
+    @pytest.mark.parametrize("use_dcn", ["dcnv3", ""])
+    def test_forward_matches_reference(self, ref_modules, use_dcn):
+        """Both MAPEncoder variants: DCNv3 (reference default) and the
+        plain-conv branch (conv_pnp_net.py:254-258, FLAGS.use_dcn='') —
+        the latter is the bench flagship config."""
+        import absl.flags
+
         conv_pnp_net, modules_dcnv3, dcnv3_func, posenet_mod = ref_modules
         dcn_cpu = make_cpu_dcnv3_c(modules_dcnv3, dcnv3_func)
         orig = conv_pnp_net.DCNv3_C
+        orig_flag = absl.flags.FLAGS.use_dcn
         conv_pnp_net.DCNv3_C = dcn_cpu
+        absl.flags.FLAGS.use_dcn = use_dcn
         try:
             torch.manual_seed(0)
             net = posenet_mod.PoseNet().eval()
         finally:
             conv_pnp_net.DCNv3_C = orig
+            absl.flags.FLAGS.use_dcn = orig_flag
 
         # The reference's tiny-std init (0.001) makes rot6d outputs ~1e-4,
         # where Gram-Schmidt normalization amplifies f32 noise into
@@ -165,7 +174,7 @@ class TestPoseNetDifferential:
         variables = jax.tree_util.tree_map(jnp.asarray, variables)
 
         cfg = ModelConfig(compute_dtype="float32", dcn_impl="xla",
-                          gelu_exact=True)
+                          gelu_exact=True, use_dcn=use_dcn)
         model = PoseNet(cfg=cfg, backbone_variant="custom",
                         backbone_depths=DEPTHS, backbone_dims=DIMS)
         jb = {k: jnp.asarray(v) for k, v in batch.items()}
