@@ -58,12 +58,16 @@ def _dwconv_ln_xla(x, w, b, gamma, beta, eps=1e-6):
     """Reference XLA formulation (grouped conv + f32 LN); the gradient
     source for the custom_vjp and the CPU/interpret fallback."""
     c = x.shape[-1]
+    # conv output stays in x.dtype: preferred_element_type=f32 with bf16
+    # operands breaks the autodiff transpose rule (f32 cotangent meets
+    # the bf16 kernel inside lax's transpose conv, which requires equal
+    # dtypes).  TPU still accumulates the taps in f32 internally; only
+    # the single output rounding is bf16.
     y = jax.lax.conv_general_dilated(
         x, w[:, :, :, None].transpose(0, 1, 3, 2).astype(x.dtype), (1, 1),
         [(3, 3), (3, 3)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=c,
-        preferred_element_type=jnp.float32)
-    y = (y + b).astype(jnp.float32)
+        feature_group_count=c)
+    y = y.astype(jnp.float32) + b
     mu = y.mean(-1, keepdims=True)
     d = y - mu
     var = (d * d).mean(-1, keepdims=True)

@@ -162,7 +162,9 @@ def sgdp(learning_rate, momentum=0.9, dampening=0.0, eps=1e-8,
 def ralamb(learning_rate, b1=0.9, b2=0.999, eps=1e-8,
            weight_decay=0.0) -> optax.GradientTransformation:
     """RaLamb (reference ralamb.py): RAdam step scaled per-layer by the
-    LARS trust ratio ||p|| / ||update||."""
+    trust ratio clamp(||p||, 0, 10) / ||p + update|| (ralamb.py:85-97 —
+    the denominator is the norm of the TENTATIVE updated weights, not of
+    the step, so the ratio hovers near 1 and damps weight-norm growth)."""
     base = optax.radam(learning_rate=learning_rate, b1=b1, b2=b2, eps=eps)
 
     def init(params):
@@ -177,10 +179,10 @@ def ralamb(learning_rate, b1=0.9, b2=0.999, eps=1e-8,
         def trust(u, p):
             if p.ndim == 0:
                 return u
-            w_norm = jnp.linalg.norm(p)
-            u_norm = jnp.linalg.norm(u)
-            ratio = jnp.where((w_norm > 0) & (u_norm > 0),
-                              w_norm / (u_norm + eps), 1.0)
+            w_norm = jnp.clip(jnp.linalg.norm(p), 0.0, 10.0)
+            new_norm = jnp.linalg.norm(p + u)
+            ratio = jnp.where((w_norm > 0) & (new_norm > 0),
+                              w_norm / new_norm, 1.0)
             return u * ratio
 
         return jax.tree_util.tree_map(trust, updates, params), state

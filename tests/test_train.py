@@ -132,7 +132,10 @@ class TestSolverZoo:
 
         opt = getattr(solvers, name)(0.05)
         target = jnp.asarray(rng.normal(size=(4, 3)), jnp.float32)
-        p = {"w": jnp.zeros((4, 3), jnp.float32)}
+        # Nonzero init: LARS-style solvers (ralamb) scale steps by the
+        # CURRENT weight norm, so from exactly-zero params they crawl —
+        # matching the reference ralamb.py trust ratio, not a bug.
+        p = {"w": jnp.asarray(rng.normal(size=(4, 3)), jnp.float32)}
         state = opt.init(p)
 
         def loss(params):
