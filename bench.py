@@ -61,10 +61,31 @@ def check_kernels():
         float(jnp.max(jnp.abs(u - v)) / (jnp.max(jnp.abs(v)) + 1e-9))
         for u, v in zip(gf, gc_))
 
-    # fast path runs bf16 stage compute: ~1e-2 relative is its contract
-    ok = fwd_err < 3e-2 and bwd_err < 3e-2
+    # windowed kernel vs window-clamped core (same Mosaic-vs-XLA contract)
+    from givepose_tpu.ops.dcnv3_window_pallas import dcnv3_windowed
+
+    win = 3
+    wa = jax.jit(lambda *a: dcnv3_windowed(*a, window=win))(x, off, m)
+    wb = jax.jit(lambda *a: dcnv3_core(*a, window=win))(x, off, m)
+    win_fwd_err = float(jnp.max(jnp.abs(wa - wb))
+                        / (jnp.max(jnp.abs(wb)) + 1e-9))
+    gwf = jax.jit(jax.grad(
+        lambda *a: jnp.sum(jnp.sin(dcnv3_windowed(*a, window=win))),
+        argnums=(0, 1, 2)))(x, off, m)
+    gwc = jax.jit(jax.grad(
+        lambda *a: jnp.sum(jnp.sin(dcnv3_core(*a, window=win))),
+        argnums=(0, 1, 2)))(x, off, m)
+    win_bwd_err = max(
+        float(jnp.max(jnp.abs(u - v)) / (jnp.max(jnp.abs(v)) + 1e-9))
+        for u, v in zip(gwf, gwc))
+
+    # fast paths run bf16 stage compute: ~1e-2 relative is the contract
+    ok = (fwd_err < 3e-2 and bwd_err < 3e-2
+          and win_fwd_err < 3e-2 and win_bwd_err < 3e-2)
     print(json.dumps({"metric": "dcnv3 pallas-vs-xla rel err",
                       "fwd": round(fwd_err, 5), "bwd": round(bwd_err, 5),
+                      "win_fwd": round(win_fwd_err, 5),
+                      "win_bwd": round(win_bwd_err, 5),
                       "pass": ok}))
     sys.exit(0 if ok else 1)
 
@@ -90,8 +111,17 @@ def main():
     # the backbone matmuls to the W8A8 serving mode (models/quant.py).
     use_dcn = args[2] if len(args) > 2 else ""
 
+    # The dcnv3 bench config uses the windowed kernel (sampling clamped
+    # to +-4 px around each query — see ops/dcnv3.py:clamp_to_window).
+    # Pass 'dcnv3_nowin' for the unbounded reference semantics.
+    dcn_window = 0
+    if use_dcn == "dcnv3":
+        dcn_window = 4
+    elif use_dcn == "dcnv3_nowin":
+        use_dcn = "dcnv3"
+
     cfg = ModelConfig(compute_dtype="bfloat16", use_dcn=use_dcn,
-                      quant_dense=int8)
+                      dcn_window=dcn_window, quant_dense=int8)
     model = PoseNet(cfg=cfg, backbone_variant="base")
 
     rng = np.random.default_rng(0)

@@ -50,6 +50,10 @@ class ModelConfig:
     nocsmap_encoder: str = "conv"         # conv (MAPEncoder/DCNv3) | att (ViT)
     use_dcn: str = "dcnv3"                # dcnv3 | '' (plain conv)
     dcn_impl: str = "auto"                # auto | pallas | xla  (dcnv3 kernel backend)
+    # > 0 clamps DCNv3 sampling to +-window px around each query and
+    # selects the windowed Pallas kernel (~4x faster on TPU); 0 keeps the
+    # reference's unbounded-offset semantics (ops/dcnv3.py docstring).
+    dcn_window: int = 0
     r_type: str = "allo_rot6d"            # allo_rot6d | ego_rot6d | allo_quat | ...
     t_type: str = "site"                  # site | center
     z_type: str = "REL"                   # REL | ABS
@@ -191,6 +195,7 @@ _FLAG_ALIASES: dict[str, tuple[str, str]] = {
     "mask_attention_type": ("model", "mask_attention_type"),
     "nocsmap_encoder": ("model", "nocsmap_encoder"),
     "use_dcn": ("model", "use_dcn"),
+    "dcn_window": ("model", "dcn_window"),
     "quant_dense": ("model", "quant_dense"),
     "r_type": ("model", "r_type"),
     "t_type": ("model", "t_type"),

@@ -44,14 +44,6 @@ class ConvNeXtBlock(nn.Module):
     layer_scale_init: float = 1e-6
     drop_path_rate: float = 0.0
     gelu_exact: bool = False
-    # dw conv + LN implementation.  'xla' (default, fastest measured):
-    # the single-expression conv+f32-LN formulation in
-    # ops/dwconv_ln_pallas._dwconv_ln_xla — XLA's conv engine runs the
-    # grouped 7x7 at ~3.8 ms/net and fuses the LN chain (isolated
-    # dwconv+LN total 7.6 ms vs 22 ms for the best Pallas VPU variant,
-    # benchmarks log in the ops module docstring).  'pallas' keeps the
-    # exploratory fused kernel selectable.
-    dw_impl: str = "xla"
     # int8 W8A8 serving mode for the 1x1 matmuls (models/quant.py);
     # param tree is unchanged, so trained checkpoints serve directly
     quant: bool = False
@@ -60,11 +52,6 @@ class ConvNeXtBlock(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         residual = x
-        impl = self.dw_impl
-        if impl == "auto":
-            impl = "xla"
-        # dw conv + LN params are owned by the block (one tree for both
-        # impls, so checkpoints are portable across backends)
         w = self.param("dw_kernel", nn.initializers.lecun_normal(),
                        (7, 7, self.dim), jnp.float32)
         b = self.param("dw_bias", nn.initializers.zeros,
@@ -108,12 +95,8 @@ class ConvNeXtBlock(nn.Module):
                                      k0, b0, k1, b1, gamma, act=act,
                                      out_dtype=self.dtype,
                                      ln=(mu, rsig, g, bt))
-        if impl == "pallas":
-            from givepose_tpu.ops.dwconv_ln_pallas import dwconv_ln
-            y = dwconv_ln(x, w, b, g, bt)
-        else:
-            from givepose_tpu.ops.dwconv_ln_pallas import _dwconv_ln_xla
-            y = _dwconv_ln_xla(x, w, b, g, bt)
+        from givepose_tpu.ops.dwconv_ln import dwconv_ln
+        y = dwconv_ln(x, w, b, g, bt)
         y = nn.Dense(4 * self.dim, dtype=self.dtype,
                      param_dtype=jnp.float32, name="Dense_0")(y)
         y = nn.gelu(y, approximate=not self.gelu_exact)
@@ -138,7 +121,6 @@ class ConvNeXt(nn.Module):
     # exact erf GELU matches torch/timm (required for ported weights) but
     # costs ~20 ms per ConvNeXt-B forward at batch 64 on v5e
     gelu_exact: bool = False
-    dw_impl: str = "xla"      # see ConvNeXtBlock.dw_impl
     quant: bool = False       # see ConvNeXtBlock.quant
     # int8 only pays where K is deep enough for the MXU int8 mode to
     # beat bf16 (v5e sweep: big win at K>=512, loss at K=128/256), so
@@ -152,16 +134,18 @@ class ConvNeXt(nn.Module):
         y = nn.Conv(self.dims[0], (4, 4), strides=(4, 4), padding="VALID",
                     dtype=self.dtype, param_dtype=jnp.float32,
                     name="stem_conv")(x.astype(self.dtype))
-        y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="stem_norm")(
-            y.astype(jnp.float32)).astype(self.dtype)
+        # dtype-native LN: flax computes the stats in f32 internally
+        # (one fused pass over the bf16 map); the old f32-in/f32-out
+        # wrapper materialized an f32 copy per norm
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                         name="stem_norm")(y)
 
         total_blocks = sum(self.depths)
         block_idx = 0
         for stage, (depth, dim) in enumerate(zip(self.depths, self.dims)):
             if stage > 0:
-                y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
-                                 name=f"downsample_norm{stage}")(
-                    y.astype(jnp.float32)).astype(self.dtype)
+                y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                 name=f"downsample_norm{stage}")(y)
                 y = nn.Conv(dim, (2, 2), strides=(2, 2), padding="VALID",
                             dtype=self.dtype, param_dtype=jnp.float32,
                             name=f"downsample_conv{stage}")(y)
@@ -170,7 +154,6 @@ class ConvNeXt(nn.Module):
                       / max(total_blocks - 1, 1))
                 y = ConvNeXtBlock(dim, drop_path_rate=dp,
                                   gelu_exact=self.gelu_exact,
-                                  dw_impl=self.dw_impl,
                                   quant=(self.quant
                                          and dim >= self.quant_min_dim),
                                   dtype=self.dtype,

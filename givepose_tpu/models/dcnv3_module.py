@@ -41,6 +41,11 @@ class DCNv3(nn.Module):
     offset_scale: float = 1.0
     impl: str = "auto"          # auto | pallas | xla
     gelu_exact: bool = False    # erf GELU in the offset branch (torch parity)
+    # window > 0 clamps sampling to +-window px around each query (see
+    # ops.dcnv3.clamp_to_window) and selects the windowed Pallas kernel
+    # on TPU — ~4x faster than the unwindowed one.  0 = reference
+    # semantics (unbounded offsets).
+    window: int = 0
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -58,8 +63,8 @@ class DCNv3(nn.Module):
                      padding="SAME", feature_group_count=self.channels,
                      dtype=self.dtype, param_dtype=jnp.float32,
                      name="dw_conv")(x)
-        x1 = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="dw_norm")(
-            x1.astype(jnp.float32)).astype(self.dtype)
+        x1 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                          name="dw_norm")(x1)
         x1 = nn.gelu(x1, approximate=not self.gelu_exact)
         if self.stride > 1:
             x1 = x1[:, ::self.stride, ::self.stride, :]
@@ -89,14 +94,22 @@ class DCNv3(nn.Module):
         if impl == "auto":
             impl = ("pallas" if jax.default_backend() not in ("cpu",)
                     else "xla")
-        core = dcnv3_fast if impl == "pallas" else dcnv3_core
+        kw = dict(kernel=self.kernel_size, stride=self.stride,
+                  pad=self.pad, dilation=self.dilation, group=self.group,
+                  offset_scale=self.offset_scale)
+        if impl == "pallas" and self.window > 0:
+            from givepose_tpu.ops.dcnv3_window_pallas import dcnv3_windowed
+            core = dcnv3_windowed
+            kw["window"] = self.window
+        elif impl == "pallas":
+            core = dcnv3_fast
+        else:
+            core = dcnv3_core
+            if self.window > 0:
+                kw["window"] = self.window
         y = core(x_proj.astype(jnp.float32),
                  offset.astype(jnp.float32),
-                 mask.astype(jnp.float32),
-                 kernel=self.kernel_size, stride=self.stride,
-                 pad=self.pad, dilation=self.dilation,
-                 group=self.group,
-                 offset_scale=self.offset_scale).astype(self.dtype)
+                 mask.astype(jnp.float32), **kw).astype(self.dtype)
         return nn.Dense(self.channels, dtype=self.dtype,
                         param_dtype=jnp.float32, name="output_proj")(y)
 
@@ -110,6 +123,7 @@ class DCNv3Conv(nn.Module):
     group: int = 4
     impl: str = "auto"
     gelu_exact: bool = False
+    window: int = 0
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -119,4 +133,5 @@ class DCNv3Conv(nn.Module):
                     name="proj")(x)
         return DCNv3(self.features, stride=self.stride, group=self.group,
                      impl=self.impl, gelu_exact=self.gelu_exact,
+                     window=self.window,
                      dtype=self.dtype, name="dcnv3")(y)

@@ -75,6 +75,7 @@ class MAPEncoder(nn.Module):
     num_stride2_layers: int = 3
     use_dcn: str = "dcnv3"
     dcn_impl: str = "auto"
+    dcn_window: int = 0
     gelu_exact: bool = False
     act: str = "relu"
     # DropBlock on the input when drop_prob > 0 (reference
@@ -96,6 +97,7 @@ class MAPEncoder(nn.Module):
             if self.use_dcn == "dcnv3":
                 y = DCNv3Conv(features, stride=2, impl=self.dcn_impl,
                               gelu_exact=self.gelu_exact,
+                              window=self.dcn_window,
                               dtype=self.dtype, name=f"dcn{i}")(y)
             else:
                 y = nn.Conv(features, (3, 3), strides=(2, 2),

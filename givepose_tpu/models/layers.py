@@ -86,9 +86,11 @@ class GroupNorm32(nn.Module):
         groups = min(self.num_groups, x.shape[-1])
         while x.shape[-1] % groups != 0:
             groups -= 1
-        y = nn.GroupNorm(num_groups=groups, epsilon=1e-5,
-                         dtype=jnp.float32)(x.astype(jnp.float32))
-        return y.astype(self.dtype)
+        # dtype-native GN: flax reduces the stats in f32 over the bf16
+        # input (no f32 materialization); at dtype=f32 this is identical
+        # to the old f32-wrapped form
+        return nn.GroupNorm(num_groups=groups, epsilon=1e-5,
+                            dtype=self.dtype)(x)
 
 
 class ConvModule(nn.Module):

@@ -82,6 +82,7 @@ class PoseNet(nn.Module):
         if self.cfg.nocsmap_encoder == "conv":
             nocs_feat = MAPEncoder(use_dcn=self.cfg.use_dcn,
                                    dcn_impl=self.cfg.dcn_impl,
+                                   dcn_window=self.cfg.dcn_window,
                                    gelu_exact=self.cfg.gelu_exact,
                                    drop_prob=self.cfg.drop_prob,
                                    dropblock_size=self.cfg.dropblock_size,

@@ -83,6 +83,35 @@ def dcnv3_sampling_locations(
     return loc - 0.5
 
 
+def clamp_to_window(loc: jnp.ndarray, h_out: int, w_out: int, kernel: int,
+                    stride: int, dilation: int, window: int) -> jnp.ndarray:
+    """Clamp sampling locations to a static window around each query.
+
+    ``loc`` is the (N, Ho, Wo, G, P, 2) output of
+    ``dcnv3_sampling_locations``.  Each query's samples are clamped to
+    ``center +- window`` pixels per axis, where ``center`` is the query's
+    receptive-field center (``half + stride*q`` in padded texel space).
+
+    This is the TPU-first redesign of the reference's unbounded offsets
+    (dcnv3_im2col_cuda.cuh:217 samples anywhere in the image): a static
+    bound lets the Pallas kernel contract over a small slab instead of the
+    full feature map.  With zero-initialised offset projections
+    (modules/dcnv3.py:308-316) the initial field spans only the dilation
+    grid (+-half), so any ``window >= half + 1`` starts loss-equivalent;
+    training under the clamp keeps offsets inside it (gradients through
+    ``clip`` vanish at the bound).
+    """
+    half = (dilation * (kernel - 1)) // 2
+    cy = (half + stride * np.arange(h_out, dtype=np.float32))
+    cx = (half + stride * np.arange(w_out, dtype=np.float32))
+    lo_x = (cx - window)[None, None, :, None, None]
+    hi_x = (cx + window)[None, None, :, None, None]
+    lo_y = (cy - window)[None, :, None, None, None]
+    hi_y = (cy + window)[None, :, None, None, None]
+    return jnp.stack([jnp.clip(loc[..., 0], lo_x, hi_x),
+                      jnp.clip(loc[..., 1], lo_y, hi_y)], axis=-1)
+
+
 def _bilinear_gather(x_flat: jnp.ndarray, ix: jnp.ndarray, iy: jnp.ndarray,
                      h_in: int, w_in: int) -> jnp.ndarray:
     """Zero-padded bilinear sample.
@@ -125,6 +154,7 @@ def dcnv3_core(
     group: int = 4,
     group_channels: int | None = None,
     offset_scale: float = 1.0,
+    window: int = 0,
 ) -> jnp.ndarray:
     """DCNv3 forward (NHWC).  Differentiable; matches dcnv3_core_pytorch.
 
@@ -132,6 +162,9 @@ def dcnv3_core(
       x: (N, H, W, G*C) input (pre-projection applied by the module).
       offset: (N, H_out, W_out, G*P*2).
       mask: (N, H_out, W_out, G*P), already softmaxed over P per group.
+      window: if > 0, clamp sampling to ``center +- window`` per query
+        (see ``clamp_to_window``); 0 keeps the reference's unbounded
+        semantics.
 
     Returns:
       (N, H_out, W_out, G*C)
@@ -147,6 +180,9 @@ def dcnv3_core(
 
     loc = dcnv3_sampling_locations(offset, h_in, w_in, kernel, stride,
                                    dilation, group, offset_scale)
+    if window > 0:
+        loc = clamp_to_window(loc, h_out, w_out, kernel, stride, dilation,
+                              window)
     # (N, Ho, Wo, G, P, 2) -> (N, G, Q) with Q = Ho*Wo*P
     q = h_out * w_out * p
     ix = loc[..., 0].transpose(0, 3, 1, 2, 4).reshape(n, group, q)

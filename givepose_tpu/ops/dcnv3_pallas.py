@@ -61,7 +61,7 @@ def _static_dims(x_shape, offset_shape, kernel, pad, group,
 
 def _prepare_inputs(x, offset, mask, kernel, stride, pad, dilation, group,
                     offset_scale, pix_tile_max=128, k_major=False,
-                    k_align=128):
+                    k_align=128, window=0):
     """XLA-side prep: transposed slab + per-query integer/frac coords.
 
     ``k_major=False`` lays the slab out as (rows=(c,x), y-K) — used by the
@@ -95,6 +95,10 @@ def _prepare_inputs(x, offset, mask, kernel, stride, pad, dilation, group,
 
     loc = dcnv3_sampling_locations(offset, h_in, w_in, kernel, stride,
                                    dilation, group, offset_scale)
+    if window > 0:
+        from givepose_tpu.ops.dcnv3 import clamp_to_window
+        loc = clamp_to_window(loc, h_out, w_out, kernel, stride, dilation,
+                              window)
     # (N, Ho, Wo, G, P, 2) -> (N, G, P, Q_pix)
     ix = loc[..., 0].reshape(n, q_pix, group, p).transpose(0, 2, 3, 1)
     iy = loc[..., 1].reshape(n, q_pix, group, p).transpose(0, 2, 3, 1)

@@ -1,0 +1,319 @@
+"""Windowed DCNv3 forward: Pallas kernel with a static sampling window.
+
+The unwindowed kernel (``givepose_tpu.ops.dcnv3_pallas``) must contract the
+y-interpolation over the FULL padded height for every query-tap lane — the
+per-query MXU floor the reference CUDA kernel
+(network/ops_dcnv3/src/cuda/dcnv3_im2col_cuda.cuh:217) never pays because
+it gathers pointwise.  Clamping every sample to a static ``window`` around
+its query (see ``ops.dcnv3.clamp_to_window``) bounds the rows any query
+tile can touch, so the kernel contracts over a small slab instead:
+
+  prep (XLA):   pad + transpose the input to a y-major slab
+                Img[n, g, y*gc + c, x] and build per-(tap, query) 2-hot
+                bilinear aux rows exactly as the unwindowed kernel does —
+                but from window-clamped locations;
+  stage A (MXU): x-interpolation of all taps of a query-row tile in one
+                matmul  Rmix = Slab @ ExT  with ExT (W_pad, P*T) the 2-hot
+                x-weights (mask folded in), Slab the ``slab_h`` rows the
+                tile's window can reach (dynamic sublane slice at a
+                gc-aligned offset);
+  stage B (MXU): the y-weights are expanded row-wise by a 0/1 matmul
+                (Ey_big = Rep @ Ey, Rep[r, y] = [r // gc == y]) — np.repeat
+                semantics, which ``pltpu.repeat`` (np.tile) cannot express —
+                then one multiply and a 0/1 segment matmul reduce over y;
+                a static slice-add folds the P tap blocks.
+
+Queries tile by whole output rows (T = TR * W_out <= 128 lanes), so the
+slab a tile reaches is ``stride*(TR-1) + 2*window + 3`` rows — 16 instead
+of 72 for the MAPEncoder's first layer — and the tap dimension rides the
+MXU lanes exactly once per stage instead of multiplying a full-height
+contraction.
+
+Backward reuses the unwindowed custom-vjp machinery on window-clamped
+locations (gradients through the clamp vanish at the bound, matching
+``jnp.clip``), so training under the window is consistent with eval.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from givepose_tpu.ops.dcnv3 import (
+    clamp_to_window,
+    dcnv3_sampling_locations,
+)
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _win_dims(x_shape, offset_shape, kernel, stride, pad, dilation, group,
+              window):
+    """Static geometry shared by prep and kernel."""
+    n, h, w_sp, c_total = x_shape
+    _, h_out, w_out, _ = offset_shape
+    gc = c_total // group
+    p = kernel * kernel
+    h_in, w_in = h + 2 * pad, w_sp + 2 * pad
+    half = (dilation * (kernel - 1)) // 2
+
+    tr = max(1, min(128 // w_out, h_out))
+    t = tr * w_out
+    n_tiles = -(-h_out // tr)
+    # corner rows a tile can reach: centers span stride*(TR-1), each center
+    # reaches [c - window - 1, c + window + 1] after floor/+1
+    slab_h = min(stride * (tr - 1) + 2 * window + 3, h_in)
+    h_eff = max(h_in, slab_h)
+    w_pad = _round_up(w_in, 8)
+    return dict(gc=gc, p=p, h_in=h_in, w_in=w_in, h_eff=h_eff,
+                w_pad=w_pad, half=half, tr=tr, t=t, n_tiles=n_tiles,
+                slab_h=slab_h, h_out=h_out, w_out=w_out, q_pix=h_out * w_out,
+                stride=stride, window=window)
+
+
+def _prepare(x, offset, mask, kernel, stride, pad, dilation, group,
+             offset_scale, window, img_dtype):
+    """Slab + aux prep (XLA).  Mirrors dcnv3_pallas._prepare_inputs but
+    with window-clamped locations and the y-major (y*gc + c, x) layout."""
+    n = x.shape[0]
+    d = _win_dims(x.shape, offset.shape, kernel, stride, pad, dilation,
+                  group, window)
+    gc, p = d["gc"], d["p"]
+    h_in, w_in, h_eff, w_pad = d["h_in"], d["w_in"], d["h_eff"], d["w_pad"]
+
+    x_pad = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    # (N, H_in, W_in, G*gc) -> (N, G, H_in, gc, W_in) -> rows y-major
+    img = (x_pad.reshape(n, h_in, w_in, group, gc)
+           .transpose(0, 3, 1, 4, 2)
+           .reshape(n, group, h_in * gc, w_in))
+    img = jnp.pad(img, ((0, 0), (0, 0), (0, (h_eff - h_in) * gc),
+                        (0, w_pad - w_in))).astype(img_dtype)
+
+    loc = dcnv3_sampling_locations(offset, h_in, w_in, kernel, stride,
+                                   dilation, group, offset_scale)
+    loc = clamp_to_window(loc, d["h_out"], d["w_out"], kernel, stride,
+                          dilation, window)
+    q_pix = d["q_pix"]
+    ix = loc[..., 0].reshape(n, q_pix, group, p).transpose(0, 2, 3, 1)
+    iy = loc[..., 1].reshape(n, q_pix, group, p).transpose(0, 2, 3, 1)
+    m = mask.reshape(n, q_pix, group, p).transpose(0, 2, 3, 1)
+
+    x0 = jnp.floor(ix)
+    y0 = jnp.floor(iy)
+    fx = (ix - x0).astype(jnp.float32)
+    fy = (iy - y0).astype(jnp.float32)
+
+    y0v = ((y0 >= 0) & (y0 < h_in)).astype(jnp.float32)
+    y1v = ((y0 + 1 >= 0) & (y0 + 1 < h_in)).astype(jnp.float32)
+    x0v = ((x0 >= 0) & (x0 < w_in)).astype(jnp.float32)
+    x1v = ((x0 + 1 >= 0) & (x0 + 1 < w_in)).astype(jnp.float32)
+
+    y0a = jnp.clip(y0, 0, h_in - 1)
+    y0b = jnp.clip(y0 + 1, 0, h_in - 1)
+    x0a = jnp.clip(x0, 0, w_in - 1)
+    x0b = jnp.clip(x0 + 1, 0, w_in - 1)
+
+    wy0 = (1.0 - fy) * y0v
+    wy1 = fy * y1v
+    wx0 = (1.0 - fx) * x0v * m
+    wx1 = fx * x1v * m
+
+    q_pad = d["n_tiles"] * d["t"] - q_pix
+
+    def padq(a):
+        return jnp.pad(a, ((0, 0), (0, 0), (0, 0), (0, q_pad)))
+
+    aux = jnp.stack([padq(a.astype(jnp.float32))
+                     for a in (y0a, y0b, wy0, wy1, x0a, x0b, wx0, wx1)],
+                    axis=2)   # (N, G, 8, P, Q_pad)
+    return img, aux, d
+
+
+def _win_kernel(img_ref, aux_ref, o_ref, rmix_ref, *, dims,
+                compute_dtype=jnp.bfloat16):
+    """One (n, g, row-tile) step.
+
+    Blocks:
+      img_ref:  (1, 1, H_eff*gc, W_pad)  y-major slab, resident per (n,g)
+      aux_ref:  (1, 1, 8, P, T)
+      o_ref:    (1, 1, gc, T)
+      rmix_ref: (slab_h*gc, P*T) scratch
+    """
+    gc = dims["gc"]
+    p = dims["p"]
+    t = dims["t"]
+    w_pad = dims["w_pad"]
+    slab_h = dims["slab_h"]
+    rows = slab_h * gc
+    lanes = p * t
+    cdt = compute_dtype
+
+    q = pl.program_id(2)
+    c_first = dims["half"] + dims["stride"] * dims["tr"] * q
+    y_lo = jnp.clip(c_first - dims["window"] - 1, 0,
+                    dims["h_eff"] - slab_h)
+
+    sl = img_ref[0, 0, pl.ds(y_lo * gc, rows), :].astype(cdt)
+
+    def lanes_of(k, rows_n):
+        return jnp.concatenate(
+            [jnp.broadcast_to(aux_ref[0, 0, k, tp:tp + 1, :], (rows_n, t))
+             for tp in range(p)], axis=1)
+
+    # stage A: 2-hot x-weights (mask folded) -> one matmul over W_pad
+    iota_x = jax.lax.broadcasted_iota(jnp.int32, (w_pad, lanes),
+                                      0).astype(jnp.float32)
+    x0a = lanes_of(4, w_pad)
+    x0b = lanes_of(5, w_pad)
+    wx0 = lanes_of(6, w_pad)
+    wx1 = lanes_of(7, w_pad)
+    ext = (jnp.where(iota_x == x0a, wx0, 0.0)
+           + jnp.where(iota_x == x0b, wx1, 0.0)).astype(cdt)
+    rmix_ref[...] = jax.lax.dot_general(
+        sl, ext, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(cdt)
+
+    # stage B: y-weights built small (slab_h, lanes), expanded to rows by
+    # a 0/1 matmul (np.repeat semantics), then segment-reduced over y
+    iota_y = jax.lax.broadcasted_iota(jnp.int32, (slab_h, lanes),
+                                      0).astype(jnp.float32)
+    y_rel = iota_y + y_lo.astype(jnp.float32)
+    y0a = lanes_of(0, slab_h)
+    y0b = lanes_of(1, slab_h)
+    wy0 = lanes_of(2, slab_h)
+    wy1 = lanes_of(3, slab_h)
+    ey = (jnp.where(y_rel == y0a, wy0, 0.0)
+          + jnp.where(y_rel == y0b, wy1, 0.0)).astype(cdt)
+
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, slab_h), 0)
+    y_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, slab_h), 1)
+    rep = (r_iota // gc == y_iota).astype(cdt)
+    ey_big = jnp.dot(rep, ey, preferred_element_type=jnp.float32)
+
+    prod = rmix_ref[...] * ey_big.astype(cdt)
+
+    s_c = jax.lax.broadcasted_iota(jnp.int32, (gc, rows), 0)
+    s_r = jax.lax.broadcasted_iota(jnp.int32, (gc, rows), 1)
+    s_mat = (s_r % gc == s_c).astype(cdt)
+    red = jnp.dot(s_mat, prod,
+                  preferred_element_type=jnp.float32)   # (gc, lanes)
+
+    acc = jnp.zeros((gc, t), jnp.float32)
+    for i in range(p):
+        acc = acc + red[:, i * t:(i + 1) * t]
+    o_ref[0, 0] = acc
+
+
+def dcnv3_windowed_pallas(x, offset, mask, kernel=3, stride=1, pad=1,
+                          dilation=1, group=4, offset_scale=1.0,
+                          window=3, interpret=False,
+                          compute_dtype=jnp.bfloat16,
+                          vmem_limit_bytes=100 * 1024 * 1024):
+    """Windowed DCNv3 forward.  Contract of ``dcnv3_core(..., window=w)``:
+    x (N,H,W,G*C), offset (N,Ho,Wo,G*P*2), mask (N,Ho,Wo,G*P)
+    -> (N,Ho,Wo,G*C) f32, with sampling clamped to +-window per query."""
+    assert window > 0, "use dcnv3_pallas for the unwindowed form"
+    n = x.shape[0]
+    img, aux, d = _prepare(x.astype(jnp.float32),
+                           offset.astype(jnp.float32),
+                           mask.astype(jnp.float32), kernel, stride, pad,
+                           dilation, group, offset_scale, window,
+                           img_dtype=compute_dtype)
+    gc, p, t = d["gc"], d["p"], d["t"]
+    n_tiles = d["n_tiles"]
+    rows = d["slab_h"] * gc
+
+    out = pl.pallas_call(
+        functools.partial(_win_kernel, dims=d, compute_dtype=compute_dtype),
+        grid=(n, group, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 1, d["h_eff"] * gc, d["w_pad"]),
+                         lambda i, g, q: (i, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, p, t),
+                         lambda i, g, q: (i, g, 0, 0, q),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, gc, t),
+                               lambda i, g, q: (i, g, 0, q),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, group, gc, n_tiles * t),
+                                       jnp.float32),
+        scratch_shapes=[pltpu.VMEM((rows, p * t), compute_dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_bytes),
+        interpret=interpret,
+    )(img, aux)
+
+    out = out[..., :d["q_pix"]]
+    out = out.transpose(0, 3, 1, 2).reshape(n, d["h_out"], d["w_out"],
+                                            group * gc)
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+def dcnv3_windowed(x, offset, mask, kernel=3, stride=1, pad=1, dilation=1,
+                   group=4, offset_scale=1.0, window=3):
+    """Windowed DCNv3 with Pallas forward and XLA-autodiff backward (via
+    the unwindowed bwd kernel on window-clamped locations)."""
+    return dcnv3_windowed_pallas(x, offset, mask, kernel, stride, pad,
+                                 dilation, group, offset_scale, window)
+
+
+def _fwd(x, offset, mask, kernel, stride, pad, dilation, group,
+         offset_scale, window):
+    out = dcnv3_windowed_pallas(x, offset, mask, kernel, stride, pad,
+                                dilation, group, offset_scale, window)
+    return out, (x, offset, mask)
+
+
+def _bwd(kernel, stride, pad, dilation, group, offset_scale, window,
+         residuals, g):
+    # Reuse the unwindowed Pallas backward on window-clamped locations:
+    # the clamp happens inside _prepare_inputs (window=...), and jax.vjp
+    # through that prep carries the clip's zero-gradient-at-the-bound
+    # semantics into d_offset.
+    from givepose_tpu.ops.dcnv3_pallas import (
+        _prepare_inputs,
+        _static_dims,
+        auto_tiles,
+    )
+    from givepose_tpu.ops.dcnv3_pallas_bwd import dcnv3_pallas_bwd
+
+    x, offset, mask = residuals
+    n = x.shape[0]
+    tap_chunk, pix_tile_max = auto_tiles(
+        x.shape, offset.shape, kernel, pad, group, jnp.float32,
+        6 * 1024 * 1024)
+
+    def prep(a, b, c):
+        img_t, aux, _ = _prepare_inputs(
+            a.astype(jnp.float32), b.astype(jnp.float32),
+            c.astype(jnp.float32), kernel, stride, pad, dilation, group,
+            offset_scale, pix_tile_max=pix_tile_max, k_major=False,
+            k_align=128, window=window)
+        return img_t, aux
+
+    (img_t, aux), vjp_prep = jax.vjp(prep, x, offset, mask)
+    dims = _static_dims(x.shape, offset.shape, kernel, pad, group,
+                        pix_tile_max=pix_tile_max, k_align=128)
+
+    gc = dims["gc"]
+    q_pix = dims["q_pix"]
+    q_pad = dims["n_tiles"] * dims["pix_tile"]
+    gk = (g.astype(jnp.float32)
+          .reshape(n, q_pix, group, gc).transpose(0, 2, 3, 1))
+    gk = jnp.pad(gk, ((0, 0), (0, 0), (0, 0), (0, q_pad - q_pix)))
+
+    d_img_t, d_aux = dcnv3_pallas_bwd(img_t, aux, gk, dims,
+                                      tap_chunk=tap_chunk)
+    return vjp_prep((d_img_t, d_aux))
+
+
+dcnv3_windowed.defvjp(_fwd, _bwd)

@@ -14,7 +14,12 @@ members are provided here as composable optax gradient transformations:
   * SGD_GC (sgd_gc.py): SGD + gradient centralization;
   * rmsprop_tf (rmsprop_tf.py): TF-flavored RMSprop (eps inside sqrt);
   * RangerAdaBelief (ranger_adabelief.py): AdaBelief + gradient
-    centralization + Lookahead.
+    centralization + Lookahead;
+  * MADGRAD (madgrad.py): momentumized dual-averaged adaptive method;
+  * NAdamW (nadamw.py): Nesterov-momentum AdamW;
+  * BAdam (badam.py): bias-correction-free AdamW with warm second-moment
+    init;
+  * Over9000 / RangerLars (over9000.py): RaLamb + Lookahead.
 
 All are jit-compatible: data-dependent branches (AdamP's projection
 trigger, RAdam's rectification threshold) are expressed as arithmetic
@@ -218,3 +223,140 @@ def ranger_adabelief(learning_rate, b1=0.9, b2=0.999, eps=1e-16,
         stages.append(optax.add_decayed_weights(weight_decay))
     stages.append(optax.adabelief(learning_rate, b1=b1, b2=b2, eps=eps))
     return lookahead(optax.chain(*stages), alpha=slow_step, k=sync_period)
+
+
+class MadgradState(NamedTuple):
+    count: jnp.ndarray
+    grad_sum_sq: optax.Updates
+    s: optax.Updates
+    x0: optax.Updates
+
+
+def madgrad(learning_rate, momentum=0.9, weight_decay=0.0,
+            eps=1e-6) -> optax.GradientTransformation:
+    """MADGRAD (reference madgrad.py:72-175, dense momentum branch):
+    dual-averaged cube-root-RMS step, params kept as a moving average of
+    the dual iterate z toward the initial point x0."""
+    assert momentum != 0.0, "momentum=0 branch not used by the reference"
+    ck = 1.0 - momentum
+
+    def init(params):
+        z = jax.tree_util.tree_map(jnp.zeros_like, params)
+        return MadgradState(
+            jnp.zeros([], jnp.int32), z,
+            jax.tree_util.tree_map(jnp.zeros_like, params),
+            jax.tree_util.tree_map(lambda p: p.astype(jnp.float32),
+                                   params))
+
+    def update(grads, state, params):
+        lr = (learning_rate(state.count) if callable(learning_rate)
+              else learning_rate) + eps
+        lamb = lr * jnp.sqrt(state.count.astype(jnp.float32) + 1.0)
+        if weight_decay > 0:
+            grads = jax.tree_util.tree_map(
+                lambda g, p: g + weight_decay * p, grads, params)
+        gss = jax.tree_util.tree_map(
+            lambda a, g: a + lamb * g * g, state.grad_sum_sq, grads)
+        s = jax.tree_util.tree_map(
+            lambda a, g: a + lamb * g, state.s, grads)
+
+        def leaf(p, x0, a, sv):
+            rms = jnp.cbrt(a) + eps
+            z = x0 - sv / rms
+            # p_new = (1-ck) p + ck z  ->  update = ck (z - p)
+            return ck * (z - p)
+
+        updates = jax.tree_util.tree_map(leaf, params, state.x0, gss, s)
+        return updates, MadgradState(state.count + 1, gss, s, state.x0)
+
+    return optax.GradientTransformation(init, update)
+
+
+class NAdamWState(NamedTuple):
+    count: jnp.ndarray
+    mu_product: jnp.ndarray
+    mu: optax.Updates
+    nu: optax.Updates
+
+
+def nadamw(learning_rate, b1=0.9, b2=0.999, eps=1e-8, weight_decay=1e-2,
+           momentum_decay=4e-3) -> optax.GradientTransformation:
+    """NAdamW (reference nadamw.py:59-132): Nesterov-momentum Adam with
+    decoupled weight decay.  Mirrors the reference's mu_product_next
+    bookkeeping verbatim (mu_product * mu^2 * mu_next at :115-116,
+    including the double-count of the current mu)."""
+
+    def init(params):
+        return NAdamWState(
+            jnp.zeros([], jnp.int32), jnp.ones([], jnp.float32),
+            jax.tree_util.tree_map(jnp.zeros_like, params),
+            jax.tree_util.tree_map(jnp.zeros_like, params))
+
+    def update(grads, state, params):
+        step = (state.count + 1).astype(jnp.float32)
+        lr = (learning_rate(state.count) if callable(learning_rate)
+              else learning_rate)
+        bc2 = 1.0 - b2 ** step
+        mu_t = b1 * (1.0 - 0.5 * 0.96 ** (step * momentum_decay))
+        mu_next = b1 * (1.0 - 0.5 * 0.96 ** ((step + 1) * momentum_decay))
+        mu_product = state.mu_product * mu_t
+        mu_product_next = mu_product * mu_t * mu_next
+
+        mu = jax.tree_util.tree_map(
+            lambda m, g: b1 * m + (1 - b1) * g, state.mu, grads)
+        nu = jax.tree_util.tree_map(
+            lambda v, g: b2 * v + (1 - b2) * g * g, state.nu, grads)
+
+        def leaf(p, g, m, v):
+            denom = jnp.sqrt(v) / jnp.sqrt(bc2) + eps
+            upd = (-lr * (1.0 - mu_t) / (1.0 - mu_product) * g / denom
+                   - lr * mu_next / (1.0 - mu_product_next) * m / denom)
+            # decoupled decay applied to p BEFORE the step (:77)
+            return upd - lr * weight_decay * p
+
+        updates = jax.tree_util.tree_map(leaf, params, grads, mu, nu)
+        return updates, NAdamWState(state.count + 1, mu_product, mu, nu)
+
+    return optax.GradientTransformation(init, update)
+
+
+class BAdamState(NamedTuple):
+    count: jnp.ndarray
+    mu: optax.Updates
+    nu: optax.Updates
+
+
+def badam(learning_rate, b1=0.9, b2=0.999, eps=1e-6, weight_decay=1e-2,
+          avg_sq_init=1e-3) -> optax.GradientTransformation:
+    """BAdam (reference badam.py:35-111): AdamW without bias correction,
+    eps inside the sqrt, and exp_avg_sq initialised to avg_sq_init (the
+    warmup-free trick the file documents)."""
+
+    def init(params):
+        return BAdamState(
+            jnp.zeros([], jnp.int32),
+            jax.tree_util.tree_map(jnp.zeros_like, params),
+            jax.tree_util.tree_map(
+                lambda p: jnp.full_like(p, avg_sq_init), params))
+
+    def update(grads, state, params):
+        lr = (learning_rate(state.count) if callable(learning_rate)
+              else learning_rate)
+        mu = jax.tree_util.tree_map(
+            lambda m, g: b1 * m + (1 - b1) * g, state.mu, grads)
+        nu = jax.tree_util.tree_map(
+            lambda v, g: b2 * v + (1 - b2) * g * g, state.nu, grads)
+        updates = jax.tree_util.tree_map(
+            lambda p, m, v: -lr * m / jnp.sqrt(v + eps)
+            - lr * weight_decay * p, params, mu, nu)
+        return updates, BAdamState(state.count + 1, mu, nu)
+
+    return optax.GradientTransformation(init, update)
+
+
+def over9000(learning_rate, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.0,
+             alpha=0.5, k=6) -> optax.GradientTransformation:
+    """Over9000 / RangerLars (reference over9000.py:18-22): RaLamb wrapped
+    in Lookahead slow weights."""
+    return lookahead(ralamb(learning_rate, b1=b1, b2=b2, eps=eps,
+                            weight_decay=weight_decay), alpha=alpha, k=k)

@@ -66,11 +66,15 @@ def make_optimizer(cfg: Config, steps_per_epoch: int | None = None
         from givepose_tpu.train.ranger import lookahead
         opt = lookahead(optax.adam(schedule))
     elif t.optimizer_type.lower() in ("adamp", "sgdp", "ralamb", "sgd_gc",
-                                      "rmsprop_tf", "ranger_adabelief"):
+                                      "rmsprop_tf", "ranger_adabelief",
+                                      "madgrad", "nadamw", "badam",
+                                      "over9000"):
         from givepose_tpu.train import solvers
         make = getattr(solvers, t.optimizer_type.lower())
         if t.optimizer_type.lower() in ("adamp", "sgdp",
-                                        "ranger_adabelief", "ralamb"):
+                                        "ranger_adabelief", "ralamb",
+                                        "madgrad", "nadamw", "badam",
+                                        "over9000"):
             opt = make(schedule, weight_decay=t.weight_decay)
         else:
             opt = make(schedule)

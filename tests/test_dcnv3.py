@@ -344,3 +344,121 @@ class TestDCNv3PallasBackward:
         for got, ref in zip(outs, refs):
             np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                        atol=2e-5)
+
+
+class TestDCNv3Windowed:
+    """Windowed kernel (ops/dcnv3_window_pallas.py) vs the clamped XLA
+    core — the static-window redesign of the reference's unbounded
+    sampling (dcnv3_im2col_cuda.cuh:217)."""
+
+    def _inputs(self, rng, h, c, g, stride, off_scale=2.0, n=2):
+        p, pad = 9, 1
+        h_out = (h + 2 * pad - 3) // stride + 1
+        x = rng.normal(size=(n, h, h, c)).astype(np.float32)
+        off = (rng.normal(size=(n, h_out, h_out, g * p * 2)) * off_scale
+               ).astype(np.float32)
+        logits = rng.normal(size=(n, h_out, h_out, g, p))
+        m = (np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+             ).reshape(n, h_out, h_out, -1).astype(np.float32)
+        return jnp.asarray(x), jnp.asarray(off), jnp.asarray(m)
+
+    @pytest.mark.parametrize("stride", [1, 2])
+    def test_matches_clamped_core(self, rng, stride):
+        from givepose_tpu.ops.dcnv3_window_pallas import (
+            dcnv3_windowed_pallas)
+        g = 4
+        x, off, m = self._inputs(rng, 16, 32, g, stride)
+        ref = np.asarray(dcnv3_core(x, off, m, stride=stride, group=g,
+                                    window=3))
+        out = np.asarray(dcnv3_windowed_pallas(
+            x, off, m, stride=stride, group=g, window=3, interpret=True,
+            compute_dtype=jnp.float32))
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    def test_noop_for_in_window_offsets(self, rng):
+        """Offsets comfortably inside the window: clamped == reference
+        semantics exactly (the loss-equivalence argument for enabling the
+        window on zero-init models)."""
+        g, stride = 4, 2
+        x, off, m = self._inputs(rng, 16, 32, g, stride, off_scale=0.4)
+        ref = np.asarray(dcnv3_core(x, off, m, stride=stride, group=g))
+        clamped = np.asarray(dcnv3_core(x, off, m, stride=stride, group=g,
+                                        window=3))
+        np.testing.assert_allclose(clamped, ref, atol=1e-6)
+
+    def test_bf16_mode_close_to_clamped_core(self, rng):
+        from givepose_tpu.ops.dcnv3_window_pallas import (
+            dcnv3_windowed_pallas)
+        g, stride = 4, 2
+        x, off, m = self._inputs(rng, 16, 64, g, stride)
+        ref = np.asarray(dcnv3_core(x, off, m, stride=stride, group=g,
+                                    window=3))
+        out = np.asarray(dcnv3_windowed_pallas(
+            x, off, m, stride=stride, group=g, window=3, interpret=True,
+            compute_dtype=jnp.bfloat16))
+        assert np.abs(out - ref).max() < 0.05
+        assert np.abs(out - ref).mean() < 0.005
+
+    def test_tile_geometry_odd_height(self, rng):
+        """h_out not divisible by the row-tile: padded queries must not
+        corrupt real ones."""
+        from givepose_tpu.ops.dcnv3_window_pallas import (
+            dcnv3_windowed_pallas)
+        g, stride = 2, 1
+        p, pad = 9, 1
+        h, w = 11, 16   # h_out = 11, w_out = 16 -> TR=8, tiles=2, pad=5
+        x = jnp.asarray(rng.normal(size=(1, h, w, g * 16)), jnp.float32)
+        off = jnp.asarray(rng.normal(size=(1, h, w, g * p * 2)) * 2,
+                          jnp.float32)
+        logits = rng.normal(size=(1, h, w, g, p))
+        m = jnp.asarray((np.exp(logits)
+                         / np.exp(logits).sum(-1, keepdims=True)
+                         ).reshape(1, h, w, -1), jnp.float32)
+        ref = np.asarray(dcnv3_core(x, off, m, stride=stride, group=g,
+                                    window=3))
+        out = np.asarray(dcnv3_windowed_pallas(
+            x, off, m, stride=stride, group=g, window=3, interpret=True,
+            compute_dtype=jnp.float32))
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    def test_backward_matches_clamped_core_autodiff(self, rng):
+        """The windowed custom-vjp backward (unwindowed bwd kernel on
+        clamped locations) == autodiff of the clamped core."""
+        from givepose_tpu.ops.dcnv3_pallas import (_prepare_inputs,
+                                                   _static_dims, auto_tiles)
+        from givepose_tpu.ops.dcnv3_pallas_bwd import dcnv3_pallas_bwd
+        g, stride, window = 2, 2, 3
+        x, off, m = self._inputs(rng, 8, 8, g, stride, n=1)
+        gc = x.shape[-1] // g
+
+        def loss(a, b, c):
+            return jnp.sum(dcnv3_core(a, b, c, stride=stride, group=g,
+                                      window=window) ** 2)
+
+        refs = jax.grad(loss, argnums=(0, 1, 2))(x, off, m)
+
+        out = dcnv3_core(x, off, m, stride=stride, group=g, window=window)
+        gup = 2.0 * out
+        tap_chunk, ptm = auto_tiles(x.shape, off.shape, 3, 1, g,
+                                    jnp.float32, 6 * 1024 * 1024)
+
+        def prep(a, b, c):
+            img_t, aux, _ = _prepare_inputs(
+                a, b, c, 3, stride, 1, 1, g, 1.0, pix_tile_max=ptm,
+                k_major=False, k_align=128, window=window)
+            return img_t, aux
+
+        (img_t, aux), vjp_prep = jax.vjp(prep, x, off, m)
+        dims = _static_dims(x.shape, off.shape, 3, 1, g, pix_tile_max=ptm,
+                            k_align=128)
+        q_pad = dims["n_tiles"] * dims["pix_tile"]
+        gk = (gup.reshape(1, dims["q_pix"], g, gc).transpose(0, 2, 3, 1))
+        gk = jnp.pad(gk, ((0, 0), (0, 0), (0, 0),
+                          (0, q_pad - dims["q_pix"])))
+        d_img_t, d_aux = dcnv3_pallas_bwd(img_t, aux, gk, dims,
+                                          tap_chunk=tap_chunk,
+                                          interpret=True)
+        outs = vjp_prep((d_img_t, d_aux))
+        for got, ref in zip(outs, refs):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=2e-5)

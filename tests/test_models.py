@@ -66,6 +66,19 @@ class TestHeads:
         assert y.shape == (2, 4, 4, 64)
         assert np.isfinite(np.asarray(y)).all()
 
+    def test_map_encoder_dcn_window_matches_unwindowed_at_init(self, rng):
+        """Zero-init offsets stay inside any window >= 2, so the windowed
+        encoder must equal the unwindowed one exactly at init (the
+        loss-equivalence argument in ops/dcnv3.py:clamp_to_window)."""
+        enc0 = MAPEncoder(featdim=32, outdim=64)
+        encw = MAPEncoder(featdim=32, outdim=64, dcn_window=3)
+        x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)), jnp.float32)
+        params = enc0.init(jax.random.PRNGKey(0), x)
+        y0 = enc0.apply(params, x)
+        yw = encw.apply(params, x)
+        np.testing.assert_allclose(np.asarray(yw), np.asarray(y0),
+                                   atol=1e-6)
+
     def test_map_encoder_plain_conv(self, rng):
         enc = MAPEncoder(featdim=32, outdim=64, use_dcn="")
         x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)), jnp.float32)
