@@ -68,13 +68,13 @@ def make_optimizer(cfg: Config, steps_per_epoch: int | None = None
     elif t.optimizer_type.lower() in ("adamp", "sgdp", "ralamb", "sgd_gc",
                                       "rmsprop_tf", "ranger_adabelief",
                                       "madgrad", "nadamw", "badam",
-                                      "over9000"):
+                                      "over9000", "ranger21"):
         from givepose_tpu.train import solvers
         make = getattr(solvers, t.optimizer_type.lower())
         if t.optimizer_type.lower() in ("adamp", "sgdp",
                                         "ranger_adabelief", "ralamb",
                                         "madgrad", "nadamw", "badam",
-                                        "over9000"):
+                                        "over9000", "ranger21"):
             opt = make(schedule, weight_decay=t.weight_decay)
         else:
             opt = make(schedule)

@@ -124,7 +124,8 @@ class TestSolverZoo:
     """The remaining reference solver-zoo members (train/solvers.py)."""
 
     NAMES = ("adamp", "sgdp", "ralamb", "sgd_gc", "rmsprop_tf",
-             "ranger_adabelief", "madgrad", "nadamw", "badam", "over9000")
+             "ranger_adabelief", "madgrad", "nadamw", "badam", "over9000",
+             "ranger21")
 
     @pytest.mark.parametrize("name", NAMES)
     def test_converges_on_quadratic(self, name, rng):
