@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 from givepose_tpu.ops.dcnv3 import dcnv3_core
 from givepose_tpu.ops.dcnv3_pallas import dcnv3_pallas
+from givepose_tpu.ops.dcnv3_window_pallas import dcnv3_windowed_pallas
 
 
 def bench(fn, args, steps=32, reps=3):
@@ -59,7 +60,7 @@ def main():
         ("16->8  c256", (b, 16, 16, 256), (b, 8, 8, 256)),
     ]
     g, p = 4, 9
-    total_fast = total_core = 0.0
+    total_fast = total_win = total_core = 0.0
     for name, xs, os_ in shapes:
         n, ho, wo = os_[0], os_[1], os_[2]
         x = jnp.asarray(rng.normal(size=xs), jnp.float32)
@@ -73,15 +74,23 @@ def main():
             return dcnv3_pallas(x_, o_, m_, stride=2,
                                 compute_dtype=jnp.bfloat16)
 
+        def win(x_, o_, m_):
+            return dcnv3_windowed_pallas(x_, o_, m_, stride=2, window=4,
+                                         compute_dtype=jnp.bfloat16)
+
         def core(x_, o_, m_):
             return dcnv3_core(x_, o_, m_, stride=2)
 
         tf = bench(fast, (x, off, m))
+        tw = bench(win, (x, off, m))
         tc = bench(core, (x, off, m))
         total_fast += tf
+        total_win += tw
         total_core += tc
-        print(f"{name}: pallas {tf*1e3:7.3f} ms   xla-core {tc*1e3:7.3f} ms")
+        print(f"{name}: pallas {tf*1e3:7.3f} ms   win {tw*1e3:7.3f} ms   "
+              f"xla-core {tc*1e3:7.3f} ms")
     print(f"TOTAL  : pallas {total_fast*1e3:7.3f} ms   "
+          f"win {total_win*1e3:7.3f} ms   "
           f"xla-core {total_core*1e3:7.3f} ms  (batch {b}, x3 layers)")
 
 
