@@ -35,12 +35,14 @@ def dwconv_ln(x, w, b, gamma, beta, eps=1e-6):
         [(3, 3), (3, 3)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=c)
     yf = y.astype(jnp.float32) + b
-    # one-pass stats (E[x^2] - mu^2): both reduces fuse into a single
-    # read of the bf16 conv output instead of materializing an f32 map
-    # and reading it twice (mu then (x-mu)^2) — the convert_reduce
-    # bucket was the largest in the batch-128 trace (CLAUDE.md)
+    # two-pass stats (var = E[(x-mu)^2]) on purpose: the one-pass
+    # E[x^2]-mu^2 form cancels catastrophically on large-mean rows
+    # (max(m2-mu^2, 0) clamps to var=0 -> rsqrt(eps) blowups and a
+    # zeroed variance gradient) — it visibly broke the overfit proof's
+    # translation learning at f32 while measuring ZERO end-to-end perf
+    # win over this form (1550 vs 1549 crops/s @128, 08-17 chip).
     mu = yf.mean(-1, keepdims=True)
-    m2 = (yf * yf).mean(-1, keepdims=True)
-    var = jnp.maximum(m2 - mu * mu, 0.0)
-    out = (yf - mu) * jax.lax.rsqrt(var + eps) * gamma + beta
+    d = yf - mu
+    var = (d * d).mean(-1, keepdims=True)
+    out = d * jax.lax.rsqrt(var + eps) * gamma + beta
     return out.astype(x.dtype)

@@ -50,6 +50,31 @@ class TestBackbone:
         assert np.isfinite(np.asarray(y)).all()
 
 
+class TestDwconvLN:
+    def test_ln_stats_survive_large_mean_rows(self, rng):
+        """Regression: one-pass E[x^2]-mu^2 LN stats cancel catastrophically
+        in f32 when |mu| >> sigma (var clamps to ~0 -> rsqrt blowup), which
+        silently broke overfit translation learning (08-17).  Pin the
+        two-pass formulation against an f64 numpy reference."""
+        from givepose_tpu.ops.dwconv_ln import dwconv_ln
+
+        c = 32
+        x = (rng.normal(size=(1, 8, 8, c)) * 0.1 + 300.0).astype(np.float32)
+        w = np.zeros((7, 7, c), np.float32)
+        w[3, 3, :] = 1.0   # identity depthwise kernel
+        b = np.zeros((c,), np.float32)
+        g = np.ones((c,), np.float32)
+        bt = np.zeros((c,), np.float32)
+        out = np.asarray(dwconv_ln(jnp.asarray(x), jnp.asarray(w),
+                                   jnp.asarray(b), jnp.asarray(g),
+                                   jnp.asarray(bt)))
+        xf = x.astype(np.float64)
+        mu = xf.mean(-1, keepdims=True)
+        ref = (xf - mu) / np.sqrt(((xf - mu) ** 2).mean(-1, keepdims=True)
+                                  + 1e-6)
+        np.testing.assert_allclose(out, ref, atol=5e-3)
+
+
 class TestHeads:
     def test_xyz_head_upsamples_8x(self, rng):
         head = TopDownXyzHead(feat_dim=32)
