@@ -133,6 +133,21 @@ class TrainConfig:
     # the practical mitigation for the axon frontend's host-side
     # transfer retention (long runs grow host RSS by ~batch-bytes/step)
     restart_every: int = 0                # epochs; 0 = disabled
+    # precise-BN recalibration for the scale net (cli.train_scale): after
+    # training, replace the momentum-lagged BN running averages with the
+    # exact mean/variance of the batch statistics over this many batches
+    # (law of total variance across batches).  The momentum-0.99 running
+    # averages (torchvision mobilenet_v3 parity) lag the batch stats the
+    # net co-adapted to; measured |scale err| 0.036 -> 0.010 on the
+    # overfit fixture.  0 = disabled.
+    bn_recal_batches: int = 32
+    # after this fraction of the scale-net schedule, recalibrate and then
+    # FREEZE the BN statistics and fine-tune against them (the exact
+    # serving function): with small batches the regressor co-adapts to
+    # batch statistics that no fixed running average reproduces (measured
+    # |scale err| train-mode 0.010 vs any-fixed-stats 0.038 on the
+    # overfit fixture).  1.0 = never freeze.
+    bn_freeze_point: float = 0.75
 
 
 @dataclass(frozen=True)
@@ -239,6 +254,8 @@ _FLAG_ALIASES: dict[str, tuple[str, str]] = {
     "log_every": ("train", "log_every"),
     "model_save": ("train", "model_save"),
     "restart_every": ("train", "restart_every"),
+    "bn_recal_batches": ("train", "bn_recal_batches"),
+    "bn_freeze_point": ("train", "bn_freeze_point"),
     "resume": ("train", "resume"),
     "resume_model": ("train", "resume_model"),
     "resume_point": ("train", "resume_point"),
