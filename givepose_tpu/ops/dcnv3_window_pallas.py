@@ -132,6 +132,13 @@ def _prepare(x, offset, mask, kernel, stride, pad, dilation, group,
     aux = jnp.stack([padq(a.astype(jnp.float32))
                      for a in (y0a, y0b, wy0, wy1, x0a, x0b, wx0, wx1)],
                     axis=2)   # (N, G, 8, P, Q_pad)
+    # tile-major lane layout (..., n_tiles, P*T): column p*T+j of a tile is
+    # tap p / query j, so the kernel expands each operand to its matmul
+    # operand with ONE sublane broadcast instead of P concatenations
+    t, n_tiles = d["t"], d["n_tiles"]
+    aux = (aux.reshape(n, group, 8, p, n_tiles, t)
+           .transpose(0, 1, 2, 4, 3, 5)
+           .reshape(n, group, 8, n_tiles, p * t))
     return img, aux, d
 
 
@@ -141,7 +148,7 @@ def _win_kernel(img_ref, aux_ref, o_ref, rmix_ref, *, dims,
 
     Blocks:
       img_ref:  (1, 1, H_eff*gc, W_pad)  y-major slab, resident per (n,g)
-      aux_ref:  (1, 1, 8, P, T)
+      aux_ref:  (1, 1, 8, 1, P*T)  tile-major aux rows (see _prepare)
       o_ref:    (1, 1, gc, T)
       rmix_ref: (slab_h*gc, P*T) scratch
     """
@@ -162,9 +169,7 @@ def _win_kernel(img_ref, aux_ref, o_ref, rmix_ref, *, dims,
     sl = img_ref[0, 0, pl.ds(y_lo * gc, rows), :].astype(cdt)
 
     def lanes_of(k, rows_n):
-        return jnp.concatenate(
-            [jnp.broadcast_to(aux_ref[0, 0, k, tp:tp + 1, :], (rows_n, t))
-             for tp in range(p)], axis=1)
+        return jnp.broadcast_to(aux_ref[0, 0, k, 0:1, :], (rows_n, lanes))
 
     # stage A: 2-hot x-weights (mask folded) -> one matmul over W_pad
     iota_x = jax.lax.broadcasted_iota(jnp.int32, (w_pad, lanes),
@@ -236,8 +241,8 @@ def dcnv3_windowed_pallas(x, offset, mask, kernel=3, stride=1, pad=1,
             pl.BlockSpec((1, 1, d["h_eff"] * gc, d["w_pad"]),
                          lambda i, g, q: (i, g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 8, p, t),
-                         lambda i, g, q: (i, g, 0, 0, q),
+            pl.BlockSpec((1, 1, 8, 1, p * t),
+                         lambda i, g, q: (i, g, 0, q, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, gc, t),
