@@ -101,20 +101,22 @@ def run(steps: int = 600, out_json: str = "OVERFIT.json",
         assert r.returncode in ok, f"phase failed rc={r.returncode}"
         return r.returncode
 
-    # The pose phase re-execs itself every 40 epochs (600 steps at
+    # The pose phase re-execs itself every 60 epochs (900 steps at
     # train_size 60 / batch 4) via the cli.train restart_every seam: the
     # axon frontend retains ~54 MB of host RAM per step (unique
     # host->device transfers), so a single 2500-step process crosses the
     # 128 GB OOM cliff (observed kill at step ~2200, anon-rss 130 GB).
     # Orbax resume is exact (step, opt state, sampler stream), same
-    # mechanism as cli.train_durable.
+    # mechanism as cli.train_durable.  The persistent compilation cache
+    # spares each re-exec'd round the multi-minute train-step recompile.
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
     rounds = 0
     while True:
         resume = ['"--resume", "1",'] if rounds else []
         rc = phase(f"""
 from givepose_tpu.cli.train import train
 train({common!r} + [{''.join(resume)} "--model_save", {save!r},
-      "--restart_every", "40", "--log_every", {log_every!r}],
+      "--restart_every", "60", "--log_every", {log_every!r}],
       max_steps={steps}, backbone_variant="tiny")
 """, ok=(0, 75))
         rounds += 1
