@@ -104,41 +104,27 @@ def _prepare(x, offset, mask, kernel, stride, pad, dilation, group,
     iy = loc[..., 1].reshape(n, q_pix, group, p).transpose(0, 2, 3, 1)
     m = mask.reshape(n, q_pix, group, p).transpose(0, 2, 3, 1)
 
-    x0 = jnp.floor(ix)
-    y0 = jnp.floor(iy)
-    fx = (ix - x0).astype(jnp.float32)
-    fy = (iy - y0).astype(jnp.float32)
-
-    y0v = ((y0 >= 0) & (y0 < h_in)).astype(jnp.float32)
-    y1v = ((y0 + 1 >= 0) & (y0 + 1 < h_in)).astype(jnp.float32)
-    x0v = ((x0 >= 0) & (x0 < w_in)).astype(jnp.float32)
-    x1v = ((x0 + 1 >= 0) & (x0 + 1 < w_in)).astype(jnp.float32)
-
-    y0a = jnp.clip(y0, 0, h_in - 1)
-    y0b = jnp.clip(y0 + 1, 0, h_in - 1)
-    x0a = jnp.clip(x0, 0, w_in - 1)
-    x0b = jnp.clip(x0 + 1, 0, w_in - 1)
-
-    wy0 = (1.0 - fy) * y0v
-    wy1 = fy * y1v
-    wx0 = (1.0 - fx) * x0v * m
-    wx1 = fx * x1v * m
-
+    # compact aux: just (iy, ix, mask) per (tap, query) — the kernel
+    # derives floor/fraction/validity/clip and the bilinear weights on
+    # the VPU, where they are register-resident, instead of this prep
+    # materializing 8 precomputed rows through ~15 separate HBM passes.
+    # Padding lanes carry m = 0, which zeroes their x-weights in-kernel.
     q_pad = d["n_tiles"] * d["t"] - q_pix
 
-    def padq(a):
-        return jnp.pad(a, ((0, 0), (0, 0), (0, 0), (0, q_pad)))
-
-    aux = jnp.stack([padq(a.astype(jnp.float32))
-                     for a in (y0a, y0b, wy0, wy1, x0a, x0b, wx0, wx1)],
-                    axis=2)   # (N, G, 8, P, Q_pad)
-    # tile-major lane layout (..., n_tiles, P*T): column p*T+j of a tile is
-    # tap p / query j, so the kernel expands each operand to its matmul
-    # operand with ONE sublane broadcast instead of P concatenations
+    aux = jnp.stack([jnp.pad(a.astype(jnp.float32),
+                             ((0, 0), (0, 0), (0, 0), (0, q_pad)))
+                     for a in (iy, ix, m)], axis=2)   # (N, G, 3, P, Q_pad)
+    # Lane layout of a tile's block (3, P*T): column p*T+j is tap p /
+    # query j, so the kernel expands each operand to its matmul operand
+    # with ONE sublane broadcast instead of P concatenations.  The tile
+    # axis must sit OUTSIDE the (3, P*T) block: Mosaic requires the last
+    # two block dims to either match the array dims exactly or be
+    # (8k, 128k)-divisible, so a (..., 3, n_tiles, P*T) order with a
+    # 1-sized n_tiles block is rejected whenever n_tiles > 1.
     t, n_tiles = d["t"], d["n_tiles"]
-    aux = (aux.reshape(n, group, 8, p, n_tiles, t)
-           .transpose(0, 1, 2, 4, 3, 5)
-           .reshape(n, group, 8, n_tiles, p * t))
+    aux = (aux.reshape(n, group, 3, p, n_tiles, t)
+           .transpose(0, 1, 4, 2, 3, 5)
+           .reshape(n, group, n_tiles, 3, p * t))
     return img, aux, d
 
 
@@ -148,7 +134,7 @@ def _win_kernel(img_ref, aux_ref, o_ref, rmix_ref, *, dims,
 
     Blocks:
       img_ref:  (1, 1, H_eff*gc, W_pad)  y-major slab, resident per (n,g)
-      aux_ref:  (1, 1, 8, 1, P*T)  tile-major aux rows (see _prepare)
+      aux_ref:  (1, 1, 1, 3, P*T)  (iy, ix, m) rows of this tile (_prepare)
       o_ref:    (1, 1, gc, T)
       rmix_ref: (slab_h*gc, P*T) scratch
     """
@@ -168,16 +154,36 @@ def _win_kernel(img_ref, aux_ref, o_ref, rmix_ref, *, dims,
 
     sl = img_ref[0, 0, pl.ds(y_lo * gc, rows), :].astype(cdt)
 
-    def lanes_of(k, rows_n):
-        return jnp.broadcast_to(aux_ref[0, 0, k, 0:1, :], (rows_n, lanes))
+    # derive corners / bilinear weights from the compact (iy, ix, m) aux
+    # rows at (1, lanes), then broadcast — register-resident VPU work
+    # that replaces 8 precomputed HBM rows (and ~15 XLA passes) in prep
+    def corners(v, m, n_valid):
+        v0 = jnp.floor(v)
+        f = v - v0
+        valid0 = ((v0 >= 0.0) & (v0 < n_valid)).astype(jnp.float32)
+        valid1 = ((v0 + 1.0 >= 0.0) & (v0 + 1.0 < n_valid)
+                  ).astype(jnp.float32)
+        c0 = jnp.clip(v0, 0.0, n_valid - 1.0)
+        c1 = jnp.clip(v0 + 1.0, 0.0, n_valid - 1.0)
+        w0 = (1.0 - f) * valid0 * m
+        w1 = f * valid1 * m
+        return c0, c1, w0, w1
+
+    iy_l = aux_ref[0, 0, 0, 0:1, :]
+    ix_l = aux_ref[0, 0, 0, 1:2, :]
+    m_l = aux_ref[0, 0, 0, 2:3, :]
+
+    def bcast(a, rows_n):
+        return jnp.broadcast_to(a, (rows_n, lanes))
 
     # stage A: 2-hot x-weights (mask folded) -> one matmul over W_pad
+    x0a_l, x0b_l, wx0_l, wx1_l = corners(ix_l, m_l, float(dims["w_in"]))
     iota_x = jax.lax.broadcasted_iota(jnp.int32, (w_pad, lanes),
                                       0).astype(jnp.float32)
-    x0a = lanes_of(4, w_pad)
-    x0b = lanes_of(5, w_pad)
-    wx0 = lanes_of(6, w_pad)
-    wx1 = lanes_of(7, w_pad)
+    x0a = bcast(x0a_l, w_pad)
+    x0b = bcast(x0b_l, w_pad)
+    wx0 = bcast(wx0_l, w_pad)
+    wx1 = bcast(wx1_l, w_pad)
     ext = (jnp.where(iota_x == x0a, wx0, 0.0)
            + jnp.where(iota_x == x0b, wx1, 0.0)).astype(cdt)
     rmix_ref[...] = jax.lax.dot_general(
@@ -186,13 +192,14 @@ def _win_kernel(img_ref, aux_ref, o_ref, rmix_ref, *, dims,
 
     # stage B: y-weights built small (slab_h, lanes), expanded to rows by
     # a 0/1 matmul (np.repeat semantics), then segment-reduced over y
+    y0a_l, y0b_l, wy0_l, wy1_l = corners(iy_l, 1.0, float(dims["h_in"]))
     iota_y = jax.lax.broadcasted_iota(jnp.int32, (slab_h, lanes),
                                       0).astype(jnp.float32)
     y_rel = iota_y + y_lo.astype(jnp.float32)
-    y0a = lanes_of(0, slab_h)
-    y0b = lanes_of(1, slab_h)
-    wy0 = lanes_of(2, slab_h)
-    wy1 = lanes_of(3, slab_h)
+    y0a = bcast(y0a_l, slab_h)
+    y0b = bcast(y0b_l, slab_h)
+    wy0 = bcast(wy0_l, slab_h)
+    wy1 = bcast(wy1_l, slab_h)
     ey = (jnp.where(y_rel == y0a, wy0, 0.0)
           + jnp.where(y_rel == y0b, wy1, 0.0)).astype(cdt)
 
@@ -241,8 +248,8 @@ def dcnv3_windowed_pallas(x, offset, mask, kernel=3, stride=1, pad=1,
             pl.BlockSpec((1, 1, d["h_eff"] * gc, d["w_pad"]),
                          lambda i, g, q: (i, g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 8, 1, p * t),
-                         lambda i, g, q: (i, g, 0, q, 0),
+            pl.BlockSpec((1, 1, 1, 3, p * t),
+                         lambda i, g, q: (i, g, q, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, gc, t),
