@@ -7,7 +7,11 @@ kernel-level work (CLAUDE.md: XLA norm fusions measured near roofline;
 Pallas norm kernels and int8 both tied or lost end-to-end).  Each flag
 set runs ``bench.py`` in a fresh subprocess (XLA_FLAGS is read once at
 backend init), same batch/iters, and the winner is reported against the
-in-process baseline run.
+baseline (empty-flags) subprocess run.
+
+Every flag name in SWEEP is probe-verified before its bench run:
+unrecognized XLA_FLAGS abort at backend init, which would otherwise
+silently burn the slot as a "bench failed" entry.
 
 Usage: python benchmarks/sweep_xla_flags.py [batch] [iters]
 """
@@ -31,16 +35,58 @@ SWEEP = [
 ]
 
 
-def run_one(name: str, flags: str, batch: int, iters: int):
+# A wedged axon chip claim can stall a run for many minutes but killing a
+# chip-attached process wedges the claim further (CLAUDE.md), so the
+# per-run timeout is deliberately very generous rather than aggressive.
+RUN_TIMEOUT_S = 2400
+
+
+def _env_with(flags: str):
     env = dict(os.environ)
     base = env.get("XLA_FLAGS", "")
     env["XLA_FLAGS"] = (base + " " + flags).strip()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env["PYTHONPATH"] = env.get("PYTHONPATH", "") + os.pathsep + repo
-    r = subprocess.run(
-        [sys.executable, os.path.join(repo, "bench.py"),
-         str(batch), str(iters)],
-        capture_output=True, text=True, env=env, cwd=repo)
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in (env.get("PYTHONPATH"), repo) if p)
+    return env, repo
+
+
+def probe_flag(name: str, flags: str) -> bool:
+    """Backend-init probe: unrecognized XLA_FLAGS abort at init, so a
+    cheap ``jax.devices()`` with the flag set tells us whether the
+    deployed libtpu/XLA build knows the flag without burning a full
+    bench slot."""
+    if not flags:
+        return True
+    env, repo = _env_with(flags)
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True, text=True, env=env, cwd=repo,
+            timeout=600)
+    except subprocess.TimeoutExpired:
+        sys.stderr.write(f"[{name}] flag probe timed out\n")
+        return False
+    if r.returncode != 0:
+        sys.stderr.write(f"[{name}] flag rejected by backend init:\n"
+                         + r.stderr[-800:] + "\n")
+    return r.returncode == 0
+
+
+def run_one(name: str, flags: str, batch: int, iters: int):
+    env, repo = _env_with(flags)
+    print(f"[{name}] starting: XLA_FLAGS={flags or '(default)'}",
+          flush=True)
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.join(repo, "bench.py"),
+             str(batch), str(iters)],
+            capture_output=True, text=True, env=env, cwd=repo,
+            timeout=RUN_TIMEOUT_S)
+    except subprocess.TimeoutExpired:
+        sys.stderr.write(f"[{name}] bench timed out after "
+                         f"{RUN_TIMEOUT_S}s (wedged chip claim?)\n")
+        return None
     value = None
     for line in r.stdout.splitlines():
         line = line.strip()
@@ -60,6 +106,11 @@ def main():
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 12
     results = {}
     for name, flags in SWEEP:
+        if not probe_flag(name, flags):
+            results[name] = None
+            print(f"{name:10s} {flags:55s} SKIPPED (flag not in this "
+                  "XLA/libtpu build)", flush=True)
+            continue
         v = run_one(name, flags, batch, iters)
         results[name] = v
         print(f"{name:10s} {flags or '(default)':55s} "
