@@ -49,20 +49,44 @@ def build_model(batch: int, use_dcn: str):
     }
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), data)
 
+    # iterate ON DEVICE inside one dispatch (same shape as bench.py's
+    # loop): per-call tracing over the axon tunnel otherwise records the
+    # ~25 ms host round-trip as giant copy-start waits that drown the
+    # real op times
     @jax.jit
     def fwd(v, b, c):
-        b2 = dict(b)
-        b2["roi_img"] = b["roi_img"] + c * 1e-6
-        out = model.apply(v, b2)
-        return c + jnp.sum(out["trans"]) * 1e-12
+        def body(i, carry):
+            b2 = dict(b)
+            b2["roi_img"] = b["roi_img"] + carry * 1e-6
+            out = model.apply(v, b2)
+            return carry + jnp.sum(out["trans"]) * 1e-12
+        return jax.lax.fori_loop(0, LOOP_STEPS, body, c)
 
     return fwd, variables, data
 
 
+LOOP_STEPS = 8
+
+
+def _import_xplane_pb2():
+    """The xplane proto module moved across TF/xprof releases; probe the
+    known homes (tensorboard-plugin-profile 2.13 had it under .protobuf;
+    the 2.20-era env only ships it inside tensorflow.tsl)."""
+    import importlib
+
+    for mod in ("tensorboard_plugin_profile.protobuf.xplane_pb2",
+                "tensorflow.tsl.profiler.protobuf.xplane_pb2",
+                "xprof.protobuf.xplane_pb2"):
+        try:
+            return importlib.import_module(mod)
+        except ImportError:
+            continue
+    raise ImportError("no xplane_pb2 found in any known package")
+
+
 def collect_op_times(trace_dir: str):
     """Sum per-HLO-op durations from the xplane protos (TPU device lines)."""
-    from tensorflow.python.profiler.internal import _pywrap_profiler_plugin  # noqa: F401
-    from tensorboard_plugin_profile.protobuf import xplane_pb2
+    xplane_pb2 = _import_xplane_pb2()
 
     op_time = collections.Counter()
     total = 0.0
@@ -93,9 +117,14 @@ def collect_op_times(trace_dir: str):
 
 
 CATEGORIES = (
+    # async DMA waits (weight prefetch / host copies) overlap compute —
+    # their durations are wait time, not additive cost
+    ("async dma (overlapped)", ("copy-start", "slice-start", "copy-done",
+                                "slice-done", "all-reduce-start")),
+    ("while shell", ("while",)),
     ("conv", ("convolution",)),
     ("dot/matmul", ("dot", "dosort")),
-    ("reduce (norm stats)", ("reduce",)),
+    ("reduce (norm stats)", ("reduce", "convert_reduce")),
     ("copy/transpose/reshape", ("copy", "transpose", "reshape",
                                 "bitcast", "slice", "concatenate", "pad")),
     ("convert", ("convert",)),
@@ -106,7 +135,7 @@ CATEGORIES = (
 
 
 def categorize(op: str) -> str:
-    low = op.lower()
+    low = op.lower().lstrip("%")
     for cat, keys in CATEGORIES:
         for k in keys:
             if low.startswith(k) or f".{k}" in low:
@@ -134,8 +163,7 @@ def main():
     import jax.profiler
 
     jax.profiler.start_trace(trace_dir)
-    for _ in range(3):
-        c = fwd(variables, data, c)
+    c = fwd(variables, data, c)
     float(c)
     jax.profiler.stop_trace()
 
@@ -143,7 +171,7 @@ def main():
     if not op_time:
         print("no device op events found in", trace_dir)
         return
-    steps = 3
+    steps = LOOP_STEPS
     print(f"total device op time: {total*1e3:.2f} ms over {steps} fwd "
           f"passes ({total/steps*1e3:.2f} ms/pass, batch {batch})")
 
@@ -153,10 +181,15 @@ def main():
     print("\nby category (ms/pass):")
     for cat, t in cats.most_common():
         print(f"  {cat:28s} {t/steps*1e3:8.2f}  ({t/total*100:5.1f}%)")
+    compute = total - cats.get("async dma (overlapped)", 0.0) \
+        - cats.get("while shell", 0.0)
+    print(f"  {'== compute ops only':28s} {compute/steps*1e3:8.2f}")
 
     print(f"\ntop {top_n} ops (ms/pass):")
     for op, t in op_time.most_common(top_n):
-        print(f"  {t/steps*1e3:8.3f}  {op[:110]}")
+        if categorize(op) == "async dma (overlapped)":
+            continue
+        print(f"  {t/steps*1e3:8.3f}  {op[:150]}")
 
 
 if __name__ == "__main__":
