@@ -186,10 +186,21 @@ def main():
     print(f"  {'== compute ops only':28s} {compute/steps*1e3:8.2f}")
 
     print(f"\ntop {top_n} ops (ms/pass):")
-    for op, t in op_time.most_common(top_n):
+    shown = 0
+    for op, t in op_time.most_common():
         if categorize(op) == "async dma (overlapped)":
             continue
         print(f"  {t/steps*1e3:8.3f}  {op[:150]}")
+        shown += 1
+        if shown >= top_n:
+            break
+
+    dump = os.environ.get("HLO_PROFILE_TSV")
+    if dump:
+        with open(dump, "w") as f:
+            for op, t in op_time.most_common():
+                f.write(f"{t/steps*1e3:.4f}\t{op}\n")
+        print(f"\nfull op dump: {dump}")
 
 
 if __name__ == "__main__":
