@@ -58,16 +58,23 @@ class DCNv3(nn.Module):
                           param_dtype=jnp.float32, name="input_proj")(x)
 
         # offset/mask branch: depthwise conv -> LN -> GELU
-        # (reference modules/dcnv3.py:277-290 dw_conv)
+        # (reference modules/dcnv3.py:277-290 dw_conv).  The branch is
+        # only consumed at the strided output positions, and LN/GELU are
+        # pointwise, so at stride>1 the dwconv runs strided directly —
+        # bit-identical to computing full-res then slicing ([::s] of a
+        # SAME stride-1 conv == explicit-pad stride-s conv over the same
+        # taps) at 1/s^2 the work (measured 1.6 ms of a 10 ms batch-128
+        # DCNv3 layer before this).
+        khalf = self.kernel_size // 2
         x1 = nn.Conv(self.channels, (self.kernel_size, self.kernel_size),
-                     padding="SAME", feature_group_count=self.channels,
+                     strides=(self.stride, self.stride),
+                     padding=[(khalf, khalf), (khalf, khalf)],
+                     feature_group_count=self.channels,
                      dtype=self.dtype, param_dtype=jnp.float32,
                      name="dw_conv")(x)
         x1 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
                           name="dw_norm")(x1)
         x1 = nn.gelu(x1, approximate=not self.gelu_exact)
-        if self.stride > 1:
-            x1 = x1[:, ::self.stride, ::self.stride, :]
 
         # zero-init offset/mask projections (reference _reset_parameters,
         # modules/dcnv3.py:308-316) so the block starts as a regular conv

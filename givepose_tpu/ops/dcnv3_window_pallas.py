@@ -90,13 +90,18 @@ def _prepare(x, offset, mask, kernel, stride, pad, dilation, group,
     gc, p = d["gc"], d["p"]
     h_in, w_in, h_eff, w_pad = d["h_in"], d["w_in"], d["h_eff"], d["w_pad"]
 
-    x_pad = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
-    # (N, H_in, W_in, G*gc) -> (N, G, H_in, gc, W_in) -> rows y-major
-    img = (x_pad.reshape(n, h_in, w_in, group, gc)
+    # one pad straight to the kernel's (h_eff, w_pad) geometry (padding
+    # h to h_eff before the reshape == padding rows by (h_eff-h_in)*gc
+    # after it), converting to the kernel dtype BEFORE the big transpose
+    # so the y-major shuffle moves bf16, not f32 (prep measured 2.6 ms
+    # of a 10 ms batch-128 layer before this).
+    x_pad = jnp.pad(x, ((0, 0), (pad, pad + h_eff - h_in),
+                        (pad, pad + w_pad - w_in),
+                        (0, 0))).astype(img_dtype)
+    # (N, H_eff, W_pad, G*gc) -> (N, G, H_eff, gc, W_pad) -> rows y-major
+    img = (x_pad.reshape(n, h_eff, w_pad, group, gc)
            .transpose(0, 3, 1, 4, 2)
-           .reshape(n, group, h_in * gc, w_in))
-    img = jnp.pad(img, ((0, 0), (0, 0), (0, (h_eff - h_in) * gc),
-                        (0, w_pad - w_in))).astype(img_dtype)
+           .reshape(n, group, h_eff * gc, w_pad))
 
     loc = dcnv3_sampling_locations(offset, h_in, w_in, kernel, stride,
                                    dilation, group, offset_scale)
@@ -133,29 +138,30 @@ def _prepare(x, offset, mask, kernel, stride, pad, dilation, group,
 
 def _win_kernel(img_ref, aux_ref, o_ref, rmix_ref, *, dims,
                 compute_dtype=jnp.bfloat16):
-    """One (n, g, row-tile) step.
+    """One (n, row-tile) step; the group loop is unrolled in-kernel so a
+    grid step carries G groups' worth of work (G x fewer grid steps, one
+    resident image block per n instead of per (n, g)).
 
     Blocks:
-      img_ref:  (1, 1, H_eff*gc, W_pad)  y-major slab, resident per (n,g)
-      aux_ref:  (1, 1, 1, 3, P*T)  (iy, ix, m) rows of this tile (_prepare)
-      o_ref:    (1, 1, gc, T)
-      rmix_ref: (slab_h*gc, P*T) scratch
+      img_ref:  (1, G, H_eff*gc, W_pad)  y-major slab, resident per n
+      aux_ref:  (1, G, 1, 3, P*T)  (iy, ix, m) rows of this tile (_prepare)
+      o_ref:    (1, G, gc, T)
+      rmix_ref: (slab_h*gc, P*T) scratch, reused across the group loop
     """
     gc = dims["gc"]
     p = dims["p"]
     t = dims["t"]
     w_pad = dims["w_pad"]
     slab_h = dims["slab_h"]
+    group = img_ref.shape[1]
     rows = slab_h * gc
     lanes = p * t
     cdt = compute_dtype
 
-    q = pl.program_id(2)
+    q = pl.program_id(1)
     c_first = dims["half"] + dims["stride"] * dims["tr"] * q
     y_lo = jnp.clip(c_first - dims["window"] - 1, 0,
                     dims["h_eff"] - slab_h)
-
-    sl = img_ref[0, 0, pl.ds(y_lo * gc, rows), :].astype(cdt)
 
     # derive corners / bilinear weights from the compact (iy, ix, m) aux
     # rows at (1, lanes), then broadcast — register-resident VPU work
@@ -172,56 +178,63 @@ def _win_kernel(img_ref, aux_ref, o_ref, rmix_ref, *, dims,
         w1 = f * valid1 * m
         return c0, c1, w0, w1
 
-    iy_l = aux_ref[0, 0, 0, 0:1, :]
-    ix_l = aux_ref[0, 0, 0, 1:2, :]
-    m_l = aux_ref[0, 0, 0, 2:3, :]
-
     def bcast(a, rows_n):
         return jnp.broadcast_to(a, (rows_n, lanes))
 
-    # stage A: 2-hot x-weights (mask folded) -> one matmul over W_pad
-    x0a_l, x0b_l, wx0_l, wx1_l = corners(ix_l, m_l, float(dims["w_in"]))
     iota_x = jax.lax.broadcasted_iota(jnp.int32, (w_pad, lanes),
                                       0).astype(jnp.float32)
-    x0a = bcast(x0a_l, w_pad)
-    x0b = bcast(x0b_l, w_pad)
-    wx0 = bcast(wx0_l, w_pad)
-    wx1 = bcast(wx1_l, w_pad)
-    ext = (jnp.where(iota_x == x0a, wx0, 0.0)
-           + jnp.where(iota_x == x0b, wx1, 0.0)).astype(cdt)
-    rmix_ref[...] = jax.lax.dot_general(
-        sl, ext, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(cdt)
-
-    # stage B: y-weights built small (slab_h, lanes); each slab y-row
-    # contributes rmix[y*gc:(y+1)*gc, :] * ey[y, :] — a static contiguous
-    # sublane slice times a one-row sublane broadcast, accumulated over
-    # the slab_h rows.  This replaces the earlier two 0/1-structured
-    # matmuls (a (rows, slab_h) np.repeat expansion and a (gc, rows)
-    # segment reduce) whose MXU cost dominated the kernel
-    # ((slab_h + gc) * rows MACs per lane vs slab_h FMAs per element
-    # here); unlike the culled norm kernels this is NOT a cross-sublane
-    # VPU reduction — every add is elementwise over (gc, lanes).
-    y0a_l, y0b_l, wy0_l, wy1_l = corners(iy_l, 1.0, float(dims["h_in"]))
     iota_y = jax.lax.broadcasted_iota(jnp.int32, (slab_h, lanes),
                                       0).astype(jnp.float32)
     y_rel = iota_y + y_lo.astype(jnp.float32)
-    y0a = bcast(y0a_l, slab_h)
-    y0b = bcast(y0b_l, slab_h)
-    wy0 = bcast(wy0_l, slab_h)
-    wy1 = bcast(wy1_l, slab_h)
-    ey = (jnp.where(y_rel == y0a, wy0, 0.0)
-          + jnp.where(y_rel == y0b, wy1, 0.0)).astype(cdt)
 
-    red = jnp.zeros((gc, lanes), jnp.float32)
-    for y in range(slab_h):
-        red = red + (rmix_ref[pl.ds(y * gc, gc), :]
-                     * ey[y:y + 1, :]).astype(jnp.float32)
+    for g in range(group):
+        sl = img_ref[0, g, pl.ds(y_lo * gc, rows), :].astype(cdt)
 
-    acc = jnp.zeros((gc, t), jnp.float32)
-    for i in range(p):
-        acc = acc + red[:, i * t:(i + 1) * t]
-    o_ref[0, 0] = acc
+        iy_l = aux_ref[0, g, 0, 0:1, :]
+        ix_l = aux_ref[0, g, 0, 1:2, :]
+        m_l = aux_ref[0, g, 0, 2:3, :]
+
+        # stage A: 2-hot x-weights (mask folded) -> one matmul over W_pad
+        x0a_l, x0b_l, wx0_l, wx1_l = corners(ix_l, m_l,
+                                             float(dims["w_in"]))
+        x0a = bcast(x0a_l, w_pad)
+        x0b = bcast(x0b_l, w_pad)
+        wx0 = bcast(wx0_l, w_pad)
+        wx1 = bcast(wx1_l, w_pad)
+        ext = (jnp.where(iota_x == x0a, wx0, 0.0)
+               + jnp.where(iota_x == x0b, wx1, 0.0)).astype(cdt)
+        rmix_ref[...] = jax.lax.dot_general(
+            sl, ext, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(cdt)
+
+        # stage B: y-weights built small (slab_h, lanes); each slab y-row
+        # contributes rmix[y*gc:(y+1)*gc, :] * ey[y, :] — a static
+        # contiguous sublane slice times a one-row sublane broadcast,
+        # accumulated over the slab_h rows.  This replaces the earlier
+        # two 0/1-structured matmuls (a (rows, slab_h) np.repeat
+        # expansion and a (gc, rows) segment reduce) whose MXU cost
+        # dominated the kernel ((slab_h + gc) * rows MACs per lane vs
+        # slab_h FMAs per element here); unlike the culled norm kernels
+        # this is NOT a cross-sublane VPU reduction — every add is
+        # elementwise over (gc, lanes).
+        y0a_l, y0b_l, wy0_l, wy1_l = corners(iy_l, 1.0,
+                                             float(dims["h_in"]))
+        y0a = bcast(y0a_l, slab_h)
+        y0b = bcast(y0b_l, slab_h)
+        wy0 = bcast(wy0_l, slab_h)
+        wy1 = bcast(wy1_l, slab_h)
+        ey = (jnp.where(y_rel == y0a, wy0, 0.0)
+              + jnp.where(y_rel == y0b, wy1, 0.0)).astype(cdt)
+
+        red = jnp.zeros((gc, lanes), jnp.float32)
+        for y in range(slab_h):
+            red = red + (rmix_ref[pl.ds(y * gc, gc), :]
+                         * ey[y:y + 1, :]).astype(jnp.float32)
+
+        acc = jnp.zeros((gc, t), jnp.float32)
+        for i in range(p):
+            acc = acc + red[:, i * t:(i + 1) * t]
+        o_ref[0, g] = acc
 
 
 def dcnv3_windowed_pallas(x, offset, mask, kernel=3, stride=1, pad=1,
@@ -245,17 +258,17 @@ def dcnv3_windowed_pallas(x, offset, mask, kernel=3, stride=1, pad=1,
 
     out = pl.pallas_call(
         functools.partial(_win_kernel, dims=d, compute_dtype=compute_dtype),
-        grid=(n, group, n_tiles),
+        grid=(n, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, 1, d["h_eff"] * gc, d["w_pad"]),
-                         lambda i, g, q: (i, g, 0, 0),
+            pl.BlockSpec((1, group, d["h_eff"] * gc, d["w_pad"]),
+                         lambda i, q: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, 3, p * t),
-                         lambda i, g, q: (i, g, q, 0, 0),
+            pl.BlockSpec((1, group, 1, 3, p * t),
+                         lambda i, q: (i, 0, q, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, gc, t),
-                               lambda i, g, q: (i, g, 0, q),
+        out_specs=pl.BlockSpec((1, group, gc, t),
+                               lambda i, q: (i, 0, 0, q),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, group, gc, n_tiles * t),
                                        jnp.float32),
