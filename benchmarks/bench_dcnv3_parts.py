@@ -75,11 +75,13 @@ def main():
     class OffsetBranch(nn.Module):
         @nn.compact
         def __call__(self, a):
-            y = nn.Conv(c, (3, 3), padding="SAME", feature_group_count=c,
+            # strided dwconv form (models/dcnv3_module.py r4): identical
+            # to full-res + [::s] slicing since LN/GELU are pointwise
+            y = nn.Conv(c, (3, 3), strides=(stride, stride),
+                        padding=[(1, 1), (1, 1)], feature_group_count=c,
                         dtype=dt, param_dtype=jnp.float32)(a)
             y = nn.LayerNorm(epsilon=1e-6, dtype=dt)(y)
             y = nn.gelu(y, approximate=True)
-            y = y[:, ::stride, ::stride, :]
             o = nn.Dense(g * p * 2, dtype=dt, param_dtype=jnp.float32)(y)
             ml = nn.Dense(g * p, dtype=dt, param_dtype=jnp.float32)(y)
             n_, nh, nw = ml.shape[:3]

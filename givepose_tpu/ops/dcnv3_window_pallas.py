@@ -66,6 +66,9 @@ def _win_dims(x_shape, offset_shape, kernel, stride, pad, dilation, group,
     h_in, w_in = h + 2 * pad, w_sp + 2 * pad
     half = (dilation * (kernel - 1)) // 2
 
+    # rows per tile: fill the 128 lanes (t = tr*w_out).  Narrower tiles
+    # (tr=2 at w_out=32 -> t=64) are rejected by Mosaic's blockspec rule
+    # (last block dim must be 128-divisible or match the array dim).
     tr = max(1, min(128 // w_out, h_out))
     t = tr * w_out
     n_tiles = -(-h_out // tr)
@@ -108,20 +111,13 @@ def _prepare(x, offset, mask, kernel, stride, pad, dilation, group,
     loc = clamp_to_window(loc, d["h_out"], d["w_out"], kernel, stride,
                           dilation, window)
     q_pix = d["q_pix"]
-    ix = loc[..., 0].reshape(n, q_pix, group, p).transpose(0, 2, 3, 1)
-    iy = loc[..., 1].reshape(n, q_pix, group, p).transpose(0, 2, 3, 1)
-    m = mask.reshape(n, q_pix, group, p).transpose(0, 2, 3, 1)
 
     # compact aux: just (iy, ix, mask) per (tap, query) — the kernel
     # derives floor/fraction/validity/clip and the bilinear weights on
     # the VPU, where they are register-resident, instead of this prep
     # materializing 8 precomputed rows through ~15 separate HBM passes.
     # Padding lanes carry m = 0, which zeroes their x-weights in-kernel.
-    q_pad = d["n_tiles"] * d["t"] - q_pix
-
-    aux = jnp.stack([jnp.pad(a.astype(jnp.float32),
-                             ((0, 0), (0, 0), (0, 0), (0, q_pad)))
-                     for a in (iy, ix, m)], axis=2)   # (N, G, 3, P, Q_pad)
+    #
     # Lane layout of a tile's block (3, P*T): column p*T+j is tap p /
     # query j, so the kernel expands each operand to its matmul operand
     # with ONE sublane broadcast instead of P concatenations.  The tile
@@ -129,9 +125,22 @@ def _prepare(x, offset, mask, kernel, stride, pad, dilation, group,
     # two block dims to either match the array dims exactly or be
     # (8k, 128k)-divisible, so a (..., 3, n_tiles, P*T) order with a
     # 1-sized n_tiles block is rejected whenever n_tiles > 1.
+    #
+    # Built with ONE transpose: stack (iy, ix, m) on a new axis of the
+    # (N, Q, G, P) layout the loc/mask tensors already have, split Q into
+    # (tiles, T) by reshape, then move everything into tile-major order
+    # in a single shuffle (three per-component transposes plus a second
+    # 6-D tile shuffle measured ~0.4 ms/layer of XLA passes here).
     t, n_tiles = d["t"], d["n_tiles"]
-    aux = (aux.reshape(n, group, 3, p, n_tiles, t)
-           .transpose(0, 1, 4, 2, 3, 5)
+    q_pad = n_tiles * t - q_pix
+    comb = jnp.stack([loc[..., 1].reshape(n, q_pix, group, p),
+                      loc[..., 0].reshape(n, q_pix, group, p),
+                      mask.reshape(n, q_pix, group, p)],
+                     axis=-2)                       # (N, Q, G, 3, P)
+    comb = jnp.pad(comb.astype(jnp.float32),
+                   ((0, 0), (0, q_pad), (0, 0), (0, 0), (0, 0)))
+    aux = (comb.reshape(n, n_tiles, t, group, 3, p)
+           .transpose(0, 3, 1, 4, 5, 2)             # (N, G, tiles, 3, P, T)
            .reshape(n, group, n_tiles, 3, p * t))
     return img, aux, d
 
