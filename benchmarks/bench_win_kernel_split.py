@@ -187,7 +187,123 @@ def _kernel(img_ref, aux_ref, o_ref, rmix_ref, *, dims, variant,
         o_ref[0, g] = acc
 
 
+def _mono_kernel(img_ref, aux_ref, o_ref, *, dims, n_tiles,
+                 compute_dtype=jnp.bfloat16, ext_bf16=False):
+    """All row-tiles of one image in ONE grid step: the tile loop is a
+    static Python unroll, so y_lo is a compile-time constant (static
+    sublane slices, no dynamic-slice setup) and the per-step shell cost
+    is paid once per image instead of once per (image, tile).
+
+    ext_bf16: build the (w_pad, lanes)/(slab_h, lanes) 2-hot broadcasts
+    in bf16 — integer coords < 256 are exact in bf16 and the weights get
+    cast to bf16 for the matmul anyway, so this halves the VPU vreg
+    count of the build with no extra rounding (corner math stays f32 at
+    (1, lanes))."""
+    gc = dims["gc"]
+    p = dims["p"]
+    t = dims["t"]
+    w_pad = dims["w_pad"]
+    slab_h = dims["slab_h"]
+    group = img_ref.shape[1]
+    rows = slab_h * gc
+    lanes = p * t
+    cdt = compute_dtype
+
+    def corners(v, m, n_valid):
+        v0 = jnp.floor(v)
+        f = v - v0
+        valid0 = ((v0 >= 0.0) & (v0 < n_valid)).astype(jnp.float32)
+        valid1 = ((v0 + 1.0 >= 0.0) & (v0 + 1.0 < n_valid)
+                  ).astype(jnp.float32)
+        c0 = jnp.clip(v0, 0.0, n_valid - 1.0)
+        c1 = jnp.clip(v0 + 1.0, 0.0, n_valid - 1.0)
+        return c0, c1, (1.0 - f) * valid0 * m, f * valid1 * m
+
+    bdt = cdt if ext_bf16 else jnp.float32
+
+    def bcast(a, rows_n):
+        return jnp.broadcast_to(a.astype(bdt), (rows_n, lanes))
+
+    iota_x = jax.lax.broadcasted_iota(jnp.int32, (w_pad, lanes),
+                                      0).astype(bdt)
+    iota_y = jax.lax.broadcasted_iota(jnp.int32, (slab_h, lanes),
+                                      0).astype(bdt)
+
+    for q in range(n_tiles):
+        c_first = dims["half"] + dims["stride"] * dims["tr"] * q
+        y_lo = int(np.clip(c_first - dims["window"] - 1, 0,
+                           dims["h_eff"] - slab_h))
+        y_rel = iota_y + jnp.asarray(y_lo, bdt)
+        for g in range(group):
+            sl = img_ref[0, g, y_lo * gc:y_lo * gc + rows, :].astype(cdt)
+            iy_l = aux_ref[0, g, q, 0:1, :]
+            ix_l = aux_ref[0, g, q, 1:2, :]
+            m_l = aux_ref[0, g, q, 2:3, :]
+
+            x0a_l, x0b_l, wx0_l, wx1_l = corners(ix_l, m_l,
+                                                 float(dims["w_in"]))
+            ext = (jnp.where(iota_x == bcast(x0a_l, w_pad),
+                             bcast(wx0_l, w_pad), jnp.asarray(0, bdt))
+                   + jnp.where(iota_x == bcast(x0b_l, w_pad),
+                               bcast(wx1_l, w_pad),
+                               jnp.asarray(0, bdt))).astype(cdt)
+            rmix = jax.lax.dot_general(
+                sl, ext, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(cdt)
+
+            y0a_l, y0b_l, wy0_l, wy1_l = corners(iy_l, 1.0,
+                                                 float(dims["h_in"]))
+            ey = (jnp.where(y_rel == bcast(y0a_l, slab_h),
+                            bcast(wy0_l, slab_h), jnp.asarray(0, bdt))
+                  + jnp.where(y_rel == bcast(y0b_l, slab_h),
+                              bcast(wy1_l, slab_h),
+                              jnp.asarray(0, bdt))).astype(cdt)
+
+            red = jnp.zeros((gc, lanes), jnp.float32)
+            for y in range(slab_h):
+                red = red + (rmix[y * gc:(y + 1) * gc, :]
+                             * ey[y:y + 1, :]).astype(jnp.float32)
+            acc = jnp.zeros((gc, t), jnp.float32)
+            for i in range(p):
+                acc = acc + red[:, i * t:(i + 1) * t]
+            o_ref[0, g, :, q * t:(q + 1) * t] = acc
+
+
+def run_mono(x, off, m, stride, window, ext_bf16=False):
+    n = x.shape[0]
+    group = 4
+    d = _win_dims(x.shape, off.shape, 3, stride, 1, 1, group, window)
+    img, aux, _ = _prepare(x, off, m, 3, stride, 1, 1, group, 1.0, window,
+                           jnp.bfloat16)
+    gc, p, t = d["gc"], d["p"], d["t"]
+    n_tiles = d["n_tiles"]
+    return pl.pallas_call(
+        functools.partial(_mono_kernel, dims=d, n_tiles=n_tiles,
+                          ext_bf16=ext_bf16),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, group, d["h_eff"] * gc, d["w_pad"]),
+                         lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, group, n_tiles, 3, p * t),
+                         lambda i: (i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, group, gc, n_tiles * t),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, group, gc, n_tiles * t),
+                                       jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(img, aux)
+
+
 def run_variant(x, off, m, stride, window, variant):
+    if variant == "mono":
+        return run_mono(x, off, m, stride, window)
+    if variant == "mono_bf16":
+        return run_mono(x, off, m, stride, window, ext_bf16=True)
     n = x.shape[0]
     group = 4
     d = _win_dims(x.shape, off.shape, 3, stride, 1, 1, group, window)
