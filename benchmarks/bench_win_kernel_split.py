@@ -269,6 +269,121 @@ def _mono_kernel(img_ref, aux_ref, o_ref, *, dims, n_tiles,
             o_ref[0, g, :, q * t:(q + 1) * t] = acc
 
 
+def _chunk_kernel(img_ref, aux_ref, o_ref, rmix_ref, *, dims, ch,
+                  compute_dtype=jnp.bfloat16, ext_bf16=False):
+    """ch row-tiles per grid step (grid (n, n_tiles//ch), tile loop a
+    static unroll with dynamic y_lo like the production kernel).  Sits
+    between the production 1-tile/step kernel and the mono variant —
+    if the ~6.9 ms base shell is per-grid-step block traffic this
+    collapses ~1/ch of it while keeping pipelining; if it compiles like
+    mono it stays flat."""
+    gc = dims["gc"]
+    p = dims["p"]
+    t = dims["t"]
+    w_pad = dims["w_pad"]
+    slab_h = dims["slab_h"]
+    group = img_ref.shape[1]
+    rows = slab_h * gc
+    lanes = p * t
+    cdt = compute_dtype
+    bdt = cdt if ext_bf16 else jnp.float32
+
+    def corners(v, m, n_valid):
+        v0 = jnp.floor(v)
+        f = v - v0
+        valid0 = ((v0 >= 0.0) & (v0 < n_valid)).astype(jnp.float32)
+        valid1 = ((v0 + 1.0 >= 0.0) & (v0 + 1.0 < n_valid)
+                  ).astype(jnp.float32)
+        c0 = jnp.clip(v0, 0.0, n_valid - 1.0)
+        c1 = jnp.clip(v0 + 1.0, 0.0, n_valid - 1.0)
+        return c0, c1, (1.0 - f) * valid0 * m, f * valid1 * m
+
+    # comparisons stay f32 (Mosaic rejects bf16 cmpf on this target);
+    # ext_bf16 only shrinks the WEIGHT broadcasts to bf16 vregs
+    def bcast(a, rows_n):
+        return jnp.broadcast_to(a, (rows_n, lanes))
+
+    def bcast_w(a, rows_n):
+        return jnp.broadcast_to(a.astype(bdt), (rows_n, lanes))
+
+    iota_x = jax.lax.broadcasted_iota(jnp.int32, (w_pad, lanes),
+                                      0).astype(jnp.float32)
+    iota_y = jax.lax.broadcasted_iota(jnp.int32, (slab_h, lanes),
+                                      0).astype(jnp.float32)
+
+    for j in range(ch):
+        q = pl.program_id(1) * ch + j
+        c_first = dims["half"] + dims["stride"] * dims["tr"] * q
+        y_lo = jnp.clip(c_first - dims["window"] - 1, 0,
+                        dims["h_eff"] - slab_h)
+        y_rel = iota_y + y_lo.astype(jnp.float32)
+        for g in range(group):
+            sl = img_ref[0, g, pl.ds(y_lo * gc, rows), :].astype(cdt)
+            iy_l = aux_ref[0, g, j, 0:1, :]
+            ix_l = aux_ref[0, g, j, 1:2, :]
+            m_l = aux_ref[0, g, j, 2:3, :]
+
+            x0a_l, x0b_l, wx0_l, wx1_l = corners(ix_l, m_l,
+                                                 float(dims["w_in"]))
+            ext = (jnp.where(iota_x == bcast(x0a_l, w_pad),
+                             bcast_w(wx0_l, w_pad), jnp.asarray(0, bdt))
+                   + jnp.where(iota_x == bcast(x0b_l, w_pad),
+                               bcast_w(wx1_l, w_pad),
+                               jnp.asarray(0, bdt))).astype(cdt)
+            rmix_ref[...] = jax.lax.dot_general(
+                sl, ext, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(cdt)
+
+            y0a_l, y0b_l, wy0_l, wy1_l = corners(iy_l, 1.0,
+                                                 float(dims["h_in"]))
+            ey = (jnp.where(y_rel == bcast(y0a_l, slab_h),
+                            bcast_w(wy0_l, slab_h), jnp.asarray(0, bdt))
+                  + jnp.where(y_rel == bcast(y0b_l, slab_h),
+                              bcast_w(wy1_l, slab_h),
+                              jnp.asarray(0, bdt))).astype(cdt)
+
+            red = jnp.zeros((gc, lanes), jnp.float32)
+            for y in range(slab_h):
+                red = red + (rmix_ref[pl.ds(y * gc, gc), :]
+                             * ey[y:y + 1, :]).astype(jnp.float32)
+            acc = jnp.zeros((gc, t), jnp.float32)
+            for i in range(p):
+                acc = acc + red[:, i * t:(i + 1) * t]
+            o_ref[0, g, :, j * t:(j + 1) * t] = acc
+
+
+def run_chunk(x, off, m, stride, window, ch, ext_bf16=False):
+    n = x.shape[0]
+    group = 4
+    d = _win_dims(x.shape, off.shape, 3, stride, 1, 1, group, window)
+    img, aux, _ = _prepare(x, off, m, 3, stride, 1, 1, group, 1.0, window,
+                           jnp.bfloat16)
+    gc, p, t = d["gc"], d["p"], d["t"]
+    n_tiles = d["n_tiles"]
+    assert n_tiles % ch == 0, (n_tiles, ch)
+    rows = d["slab_h"] * gc
+    return pl.pallas_call(
+        functools.partial(_chunk_kernel, dims=d, ch=ch, ext_bf16=ext_bf16),
+        grid=(n, n_tiles // ch),
+        in_specs=[
+            pl.BlockSpec((1, group, d["h_eff"] * gc, d["w_pad"]),
+                         lambda i, q: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, group, ch, 3, p * t),
+                         lambda i, q: (i, 0, q, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, group, gc, ch * t),
+                               lambda i, q: (i, 0, 0, q),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, group, gc, n_tiles * t),
+                                       jnp.float32),
+        scratch_shapes=[pltpu.VMEM((rows, p * t), jnp.bfloat16)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(img, aux)
+
+
 def run_mono(x, off, m, stride, window, ext_bf16=False):
     n = x.shape[0]
     group = 4
@@ -300,10 +415,23 @@ def run_mono(x, off, m, stride, window, ext_bf16=False):
 
 
 def run_variant(x, off, m, stride, window, variant):
+    if variant.endswith("_bf16"):
+        # dead end, kept for the record (08-19): Mosaic on this target
+        # rejects bf16 cmpf outright, and the f32-mask -> bf16-select
+        # form fails too ("Invalid relayout ... vector<...xi1>":
+        # an (8,128)-tiled i1 mask cannot feed a (16,128)-tiled bf16
+        # select).  The 2-hot weight builds therefore stay f32.
+        raise SystemExit(f"{variant}: bf16 2-hot builds do not compile "
+                         "on this Mosaic target (see comment)")
     if variant == "mono":
         return run_mono(x, off, m, stride, window)
     if variant == "mono_bf16":
         return run_mono(x, off, m, stride, window, ext_bf16=True)
+    if variant.startswith("chunk"):
+        spec = variant[len("chunk"):]
+        ext_bf16 = spec.endswith("_bf16")
+        ch = int(spec.split("_")[0])
+        return run_chunk(x, off, m, stride, window, ch, ext_bf16=ext_bf16)
     n = x.shape[0]
     group = 4
     d = _win_dims(x.shape, off.shape, 3, stride, 1, 1, group, window)
@@ -380,6 +508,28 @@ def main():
 
     variants = (sys.argv[3].split(",") if len(sys.argv) > 3
                 else ("full", "base"))
+
+    if "verify" in variants:
+        # numerics: chunk/mono layouts must match the production kernel
+        from givepose_tpu.ops.dcnv3_window_pallas import (
+            dcnv3_windowed_pallas)
+        d = _win_dims(x[:4].shape, off[:4].shape, 3, stride, 1, 1, g,
+                      window)
+        ref = dcnv3_windowed_pallas(x[:4], off[:4], m[:4], 3, stride, 1,
+                                    1, g, 1.0, window)
+        for v in variants:
+            if v == "verify":
+                continue
+            out = run_variant(x[:4], off[:4], m[:4], stride, window, v)
+            img4 = (out[..., :d["q_pix"]].transpose(0, 3, 1, 2)
+                    .reshape(4, d["h_out"], d["w_out"], c))
+            err = float(jnp.max(jnp.abs(img4 - ref)))
+            scale = float(jnp.max(jnp.abs(ref)))
+            print(f"{v:12s} vs prod: max abs err {err:.5f} "
+                  f"(ref max {scale:.2f})", flush=True)
+            assert err <= 0.02 * scale, (v, err)
+        variants = [v for v in variants if v != "verify"]
+
     res = {"prep_only": bench(prep_only, (x,))}
     print(f"{'prep_only':10s}: {res['prep_only']*1e3:7.3f} ms", flush=True)
     for variant in variants:

@@ -13,6 +13,14 @@ Every flag name in SWEEP is probe-verified before its bench run:
 unrecognized XLA_FLAGS abort at backend init, which would otherwise
 silently burn the slot as a "bench failed" entry.
 
+Axon caveat (measured 08-19): this sweep is a dead lever over the axon
+tunnel.  All four candidate flags are rejected by the deployed
+libtpu build, and the axon compile helper logs that the TERMINAL's
+XLA_FLAGS/LIBTPU_INIT_ARGS override client-set values at remote-compile
+time anyway ("terminal's value wins"), so even recognized client flags
+would not reach the compiler.  Flag experiments need
+`axon launch --extra-libtpu-args` on the terminal side, not this sweep.
+
 Usage: python benchmarks/sweep_xla_flags.py [batch] [iters]
 """
 
