@@ -52,8 +52,10 @@ def main():
     g, p = 4, 9
     rng = np.random.default_rng(0)
 
-    # the MAPEncoder's first (most expensive) layer: 64x64 -> 32x32 @128
-    h, c, stride = 64, 128, 2
+    # the MAPEncoder's first (most expensive) layer: 64x64 -> 32x32 @256
+    # (MAPEncoder featdim/outdim default 256 — models/heads.py:73-74;
+    # this bench previously assumed 128 and under-stated every piece)
+    h, c, stride = 64, 256, 2
     ho = h // stride
     dt = jnp.bfloat16
 
@@ -69,7 +71,7 @@ def main():
 
     dense = nn.Dense(c, dtype=dt, param_dtype=jnp.float32)
     vd = dense.init(jax.random.PRNGKey(0), x)
-    results["proj_dense(64x64x128)"] = bench(
+    results["proj_dense(64x64x256)"] = bench(
         lambda a: dense.apply(vd, a), (x,))
 
     class OffsetBranch(nn.Module):
@@ -101,23 +103,23 @@ def main():
         dcnv3_windowed_pallas,
     )
 
-    xf = x.astype(jnp.float32)
-
+    # production (P1, r4) feeds the windowed core bf16 directly — no f32
+    # round trip (prep measured 1.19 ms bf16-in vs 3.28 ms via f32)
     def prep_only(a):
         img, aux, _ = _prepare(a, off, m, 3, stride, 1, 1, g, 1.0, window,
                                jnp.bfloat16)
         return jnp.sum(img.astype(jnp.float32)) + jnp.sum(aux)
 
-    results["win_prep(xla)"] = bench(prep_only, (xf,))
+    results["win_prep(xla)"] = bench(prep_only, (x,))
 
     def full_win(a):
         return dcnv3_windowed_pallas(a, off, m, stride=stride, window=window)
 
-    results["win_total(prep+kernel)"] = bench(full_win, (xf,))
+    results["win_total(prep+kernel)"] = bench(full_win, (x,))
 
     outd = nn.Dense(c, dtype=dt, param_dtype=jnp.float32)
     vout = outd.init(jax.random.PRNGKey(0), x1)
-    results["output_dense(32x32x128)"] = bench(
+    results["output_dense(32x32x256)"] = bench(
         lambda a: outd.apply(vout, a), (x1,))
 
     for k, v in results.items():

@@ -114,7 +114,14 @@ class DCNv3(nn.Module):
             core = dcnv3_core
             if self.window > 0:
                 kw["window"] = self.window
-        y = core(x_proj.astype(jnp.float32),
+        # the windowed Pallas kernel pads/casts x to its bf16 compute
+        # dtype itself, so feeding it the module-dtype tensor skips a
+        # f32 materialization round trip (bit-identical when x_proj is
+        # bf16); the xla/unwindowed cores keep the f32 input for exact
+        # bilinear gathers.
+        x_core = (x_proj if (impl == "pallas" and self.window > 0)
+                  else x_proj.astype(jnp.float32))
+        y = core(x_core,
                  offset.astype(jnp.float32),
                  mask.astype(jnp.float32), **kw).astype(self.dtype)
         return nn.Dense(self.channels, dtype=self.dtype,

@@ -84,20 +84,28 @@ def _win_dims(x_shape, offset_shape, kernel, stride, pad, dilation, group,
 
 
 def _prepare(x, offset, mask, kernel, stride, pad, dilation, group,
-             offset_scale, window, img_dtype):
+             offset_scale, window, img_dtype, interpret=False):
     """Slab + aux prep (XLA).  Mirrors dcnv3_pallas._prepare_inputs but
-    with window-clamped locations and the y-major (y*gc + c, x) layout."""
+    with window-clamped locations and the y-major (y*gc + c, x) layout.
+
+    The img build stays XLA on purpose (measured 08-19, batch-128 L0,
+    bf16 input): the pad+reshape+transpose chain costs 1.19 ms — ~1.8x
+    the HBM floor — once the input arrives bf16 (the earlier 3.28 ms
+    reading was dominated by a f32 round trip the module no longer
+    does).  A Pallas pad+transpose kernel (per-y MXU shift-identity
+    matmuls, exact numerics) measured 2.91 ms in isolation and e2e
+    neutral, so it was culled."""
     n = x.shape[0]
     d = _win_dims(x.shape, offset.shape, kernel, stride, pad, dilation,
                   group, window)
     gc, p = d["gc"], d["p"]
     h_in, w_in, h_eff, w_pad = d["h_in"], d["w_in"], d["h_eff"], d["w_pad"]
+    del interpret  # kept for call-site stability; prep has no kernel
 
     # one pad straight to the kernel's (h_eff, w_pad) geometry (padding
     # h to h_eff before the reshape == padding rows by (h_eff-h_in)*gc
     # after it), converting to the kernel dtype BEFORE the big transpose
-    # so the y-major shuffle moves bf16, not f32 (prep measured 2.6 ms
-    # of a 10 ms batch-128 layer before this).
+    # so the y-major shuffle moves bf16, not f32.
     x_pad = jnp.pad(x, ((0, 0), (pad, pad + h_eff - h_in),
                         (pad, pad + w_pad - w_in),
                         (0, 0))).astype(img_dtype)
@@ -256,11 +264,17 @@ def dcnv3_windowed_pallas(x, offset, mask, kernel=3, stride=1, pad=1,
     -> (N,Ho,Wo,G*C) f32, with sampling clamped to +-window per query."""
     assert window > 0, "use dcnv3_pallas for the unwindowed form"
     n = x.shape[0]
-    img, aux, d = _prepare(x.astype(jnp.float32),
+    # x is NOT up-cast to f32: _prepare pads in the incoming dtype and
+    # casts straight to compute_dtype.  When x arrives bf16 (the module's
+    # compute dtype) this is bit-identical to the old f32 round trip
+    # (f32(bf16) -> bf16 is the identity) minus ~0.5 GB of HBM traffic
+    # at the MAPEncoder L0 shape.  Offsets/mask stay f32: fractional
+    # sampling positions need the mantissa.
+    img, aux, d = _prepare(x,
                            offset.astype(jnp.float32),
                            mask.astype(jnp.float32), kernel, stride, pad,
                            dilation, group, offset_scale, window,
-                           img_dtype=compute_dtype)
+                           img_dtype=compute_dtype, interpret=interpret)
     gc, p, t = d["gc"], d["p"], d["t"]
     n_tiles = d["n_tiles"]
     rows = d["slab_h"] * gc
