@@ -94,10 +94,14 @@ def train(argv=None, max_steps: int | None = None,
                                cfg.train.mesh_shape)
     model = PoseNet(cfg=cfg.model, backbone_variant=backbone_variant)
 
-    key = jax.random.PRNGKey(cfg.train.seed)
+    # counter-based rng: every step's keys are fold_in(key0, step), not a
+    # sequential split chain — so a resumed process derives the SAME
+    # augmentation/step keys the uninterrupted run would have used at
+    # that step (bit-exact resume even with DZI/color aug enabled)
+    key0 = jax.random.PRNGKey(cfg.train.seed)
     first_raw = next(iter(pipeline.epoch()))
-    key, sub = jax.random.split(key)
-    sample = build_model_batch(first_raw, sub, cfg)
+    sample = build_model_batch(first_raw,
+                               jax.random.fold_in(key0, 2**32 - 1), cfg)
     state = init_train_state(model, cfg, sample)
     step_fn, _ = make_train_step(model, cfg, mesh=mesh)
     state = jax.device_put(state, NamedSharding(mesh, P()))
@@ -115,17 +119,19 @@ def train(argv=None, max_steps: int | None = None,
             # the reference instead restarts its LR schedule, SURVEY §5)
             spe = max(cfg.train.train_size // cfg.train.batch_size, 1)
             start_epoch = int(state.step) // spe
-        # replay the sampler's epoch draws so epoch E sees the same
-        # index stream the uninterrupted run would have fed it
-        for _ in range(start_epoch):
-            pipeline.sampler.epoch_indices()
+        # replay the host randomness (sampler epoch draws + per-epoch
+        # read-rng counter) so epoch E sees the same index stream AND
+        # the same per-sample instance choices the uninterrupted run
+        # would have fed it — bit-exact resume needs both
+        pipeline.skip_epochs(start_epoch)
         logger.info("resumed from %s at epoch %d", ckpt, start_epoch)
 
     timer = StepTimer()
     global_step = int(state.step)
     for epoch in range(start_epoch, cfg.train.total_epoch):
         for raw in pipeline.epoch():
-            key, k_pre, k_step = jax.random.split(key, 3)
+            k_pre, k_step = jax.random.split(
+                jax.random.fold_in(key0, global_step))
             batch = build_model_batch(raw, k_pre, cfg)
             batch = shard_host_batch(mesh, batch)
             state, step_metrics = step_fn(state, batch, k_step)

@@ -167,7 +167,13 @@ def train_scale(argv=None, max_steps: int | None = None):
                  if cfg.train.bn_freeze_point < 1.0 else planned + 1)
 
     global_step = 0
-    for epoch in range(cfg.train.total_epoch):
+    # max_steps (tests/tools) drives termination when set: keep cycling
+    # epochs until it is reached, even past total_epoch — otherwise a
+    # max_steps larger than total_epoch*spe silently under-runs and the
+    # frozen fine-tune phase never executes.
+    n_epochs = (cfg.train.total_epoch if max_steps is None
+                else max(cfg.train.total_epoch, -(-max_steps // spe)))
+    for epoch in range(n_epochs):
         for raw in pipeline.epoch():
             key, k_pre, k_step = jax.random.split(key, 3)
             batch = build_model_batch(raw, k_pre, cfg)
@@ -192,8 +198,8 @@ def train_scale(argv=None, max_steps: int | None = None):
                                              f"scale_ckpt_{global_step}"),
                                 state)
                 return state
-        if (epoch + 1) % cfg.train.save_every == 0 \
-                or epoch == cfg.train.total_epoch - 1:
+        if max_steps is None and ((epoch + 1) % cfg.train.save_every == 0
+                                  or epoch == cfg.train.total_epoch - 1):
             if epoch == cfg.train.total_epoch - 1 \
                     and global_step <= freeze_at:
                 state = recalibrate_bn(state, key)

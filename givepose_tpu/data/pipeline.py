@@ -44,16 +44,29 @@ class TrainPipeline:
             cam_len, real_len = 0, len(reader)
         self.sampler = EpochSampler(cam_len, real_len, train_size,
                                     syn_ratio, seed)
-        self.rng = random.Random(seed)
+        self.seed = seed
+        self._epoch = 0
         self.prefetch = prefetch
 
-    def _read_batch(self, indices) -> dict:
+    def skip_epochs(self, n: int) -> None:
+        """Fast-forward n epochs of host randomness for exact resume:
+        replays the sampler's epoch draws AND advances the per-epoch
+        read-rng counter.  The instance-selection rng is derived per
+        (seed, epoch, batch) — a flat counter-based stream — because the
+        stream-consumption count of a stateful rng is data-dependent
+        (bad-sample retries, ban_mug redraws) and therefore not
+        replayable without re-reading every file."""
+        for _ in range(n):
+            self.sampler.epoch_indices()
+            self._epoch += 1
+
+    def _read_batch(self, indices, rng) -> dict:
         records = []
         for idx in indices:
             rec = None
             probe = int(idx)
             for _ in range(32):       # bad-sample skipping (reference
-                rec = self.reader.read(probe, self.rng)  # :185-255)
+                rec = self.reader.read(probe, rng)       # :185-255)
                 if rec is not None:
                     break
                 probe = (probe + 1) % len(self.reader)
@@ -65,6 +78,8 @@ class TrainPipeline:
     def epoch(self):
         """Yield raw host batches for one epoch (prefetched)."""
         indices = self.sampler.epoch_indices()
+        epoch_no = self._epoch
+        self._epoch += 1
         if self.num_processes > 1:
             from givepose_tpu.core.mesh import process_local_indices
             indices = process_local_indices(
@@ -77,7 +92,8 @@ class TrainPipeline:
         def worker():
             for b in range(n_batches):
                 chunk = indices[b * bs:(b + 1) * bs]
-                q.put(self._read_batch(chunk))
+                rng = random.Random((self.seed, epoch_no, b))
+                q.put(self._read_batch(chunk, rng))
             q.put(None)
 
         t = threading.Thread(target=worker, daemon=True)

@@ -139,10 +139,12 @@ class TestRestartEvery:
                 "--model_save", save, "--log_every", "1",
                 "--model.compute_dtype", "float32",
                 "--warmup_iters", "1", "--save_every", "100",
-                # determinism: zero augmentation so the restarted
-                # process's fresh rng streams cannot diverge the data
-                "--color_aug_prob", "0", "--data.roi_mask_pro", "0",
-                "--DZI_SCALE_RATIO", "0", "--DZI_SHIFT_RATIO", "0",
+                # augmentation deliberately ON: the per-step device keys
+                # are fold_in(seed, step) and the host read-rng is
+                # (seed, epoch, batch)-derived, so a restarted process
+                # reproduces the exact augmented batches — this test
+                # pins that bit-exact-resume contract
+                "--color_aug_prob", "1",
                 *extra,
             ]
 

@@ -95,6 +95,15 @@ class TestQuantBackbone:
         net = ConvNeXt(quant=False, **kw)
         qnet = ConvNeXt(quant=True, **kw)
         v = net.init(jax.random.PRNGKey(0), x)
+        # fresh-init layer scale is 1e-6, which suppresses the MLP branch
+        # (and with it the int8 noise) below float noise — a trained net
+        # has O(1) gammas.  Set them to 1 in the SHARED tree so the
+        # activation check below can actually see the quantized path.
+        import flax
+        flat = flax.traverse_util.flatten_dict(v["params"])
+        flat = {k: (np.ones_like(val) if k[-1] == "gamma" else val)
+                for k, val in flat.items()}
+        v = {"params": flax.traverse_util.unflatten_dict(flat)}
         ref = np.asarray(net.apply(v, x), np.float32)
         got = np.asarray(qnet.apply(v, x), np.float32)   # same tree!
         rel = np.max(np.abs(got - ref)) / (np.max(np.abs(ref)) + 1e-9)
