@@ -1,4 +1,6 @@
-"""Training CLI (reference engine/train.py:28-162).
+"""Training CLI (reference engine/train.py:28-162; engine/pre_train.py
+is byte-identical except it lacks the AdamW optimizer branch, so this
+one CLI covers both reference entry points).
 
 Usage:
   python -m givepose_tpu.cli.train --dataset CAMERA+Real \\
