@@ -19,3 +19,10 @@ from givepose_tpu.eval.evaluate import (
     evaluate_results,
     make_inference_fn,
 )
+from givepose_tpu.eval.serving import (
+    export_posenet,
+    load_exported,
+    load_exported_file,
+    save_exported,
+    serving_batch_spec,
+)
