@@ -39,14 +39,23 @@ def main(argv=None):
     p.add_argument("--backbone", default="base")
     p.add_argument("--use_dcn", default="")
     p.add_argument("--dcn_window", type=int, default=0)
+    p.add_argument("--dcn_impl", default="auto",
+                   choices=["auto", "pallas", "xla"],
+                   help="dcnv3 kernel backend; multi-platform exports "
+                        "resolve 'auto' to the portable 'xla' path")
     p.add_argument("--compute_dtype", default="bfloat16")
+    p.add_argument("--gelu_exact", action="store_true",
+                   help="exact erf GELU — REQUIRED for artifacts that "
+                        "will serve converted reference .pth weights "
+                        "(models/convert_weights.py)")
     p.add_argument("--platforms", default="cpu,tpu",
                    help="comma-separated lowering platforms; Mosaic "
                         "(dcnv3 fast-path) configs must be tpu-only")
     args = p.parse_args(argv)
 
     cfg = ModelConfig(compute_dtype=args.compute_dtype,
-                      use_dcn=args.use_dcn, dcn_window=args.dcn_window)
+                      use_dcn=args.use_dcn, dcn_window=args.dcn_window,
+                      dcn_impl=args.dcn_impl, gelu_exact=args.gelu_exact)
     from givepose_tpu.models import PoseNet
     model = PoseNet(cfg=cfg, backbone_variant=args.backbone)
 

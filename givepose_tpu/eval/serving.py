@@ -63,6 +63,15 @@ def export_posenet(variables, cfg: ModelConfig = None,
     from givepose_tpu.models import PoseNet
 
     cfg = cfg or ModelConfig(compute_dtype="bfloat16")
+    # dcn_impl='auto' resolves via jax.default_backend() ONCE at trace
+    # time, which would bake the export HOST's backend into every
+    # platform lowering (CPU host -> slow XLA dcn served on TPU; TPU
+    # host -> Mosaic custom call that fails the cpu lowering).  For a
+    # multi-platform artifact force the portable XLA formulation; a
+    # single-platform tpu export may keep the Pallas fast path.
+    if cfg.use_dcn and cfg.dcn_impl == "auto" and len(platforms) > 1:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, dcn_impl="xla")
     model = PoseNet(cfg=cfg, backbone_variant=backbone_variant)
 
     def fwd(variables, batch):

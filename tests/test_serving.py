@@ -2,7 +2,9 @@
 
 The artifact must (a) roundtrip through serialize/deserialize, (b) hold
 no weights (params travel as call arguments), and (c) reproduce
-model.apply exactly — the exported StableHLO is the same trace.
+jit(model.apply) — the exported StableHLO is the same trace, so it is
+compared against the jitted forward (eager apply differs from any
+compiled path by XLA fusion reassociation, ~2e-6 abs on f32).
 """
 
 import os
@@ -22,8 +24,8 @@ from givepose_tpu.eval.serving import (
 from givepose_tpu.models import PoseNet
 
 
-def _tiny_setup(batch=2, img=64):
-    cfg = ModelConfig(compute_dtype="float32")
+def _tiny_setup(batch=2, img=64, **cfg_kw):
+    cfg = ModelConfig(compute_dtype="float32", **cfg_kw)
     model = PoseNet(cfg=cfg, backbone_variant="tiny")
     batch_d = example_serving_batch(batch, img_size=img)
     variables = model.init(jax.random.PRNGKey(0), batch_d)
@@ -42,7 +44,9 @@ def test_export_roundtrip_matches_apply(tmp_path):
     save_exported(path, blob)
     fn = load_exported_file(path)
 
-    want = model.apply(variables, batch)
+    # compare against the jitted forward — the same compilation path the
+    # export traces; eager apply differs by fusion reassociation (~2e-6)
+    want = jax.jit(model.apply)(variables, batch)
     got = fn(variables, batch)
     assert set(got.keys()) == set(want.keys())
     for k in want:
@@ -67,6 +71,20 @@ def test_export_shape_level_variables(tmp_path):
                                rtol=1e-6, atol=1e-6)
 
 
+def test_export_multiplatform_dcnv3_resolves_impl(tmp_path):
+    """A (cpu,tpu) export of a dcnv3 config must not bake the export
+    host's backend choice in: dcn_impl='auto' is forced to the portable
+    'xla' path (eval/serving.py), so the artifact loads and runs on the
+    CPU host instead of failing on a Mosaic custom call."""
+    cfg, model, variables, batch = _tiny_setup(use_dcn="dcnv3")
+    blob = export_posenet(variables, cfg=cfg, backbone_variant="tiny",
+                          batch_size=2, img_size=64,
+                          platforms=("cpu", "tpu"))
+    fn = load_exported(blob)
+    got = fn(variables, batch)
+    assert np.isfinite(np.asarray(got["rot"])).all()
+
+
 def test_serving_batch_spec_matches_example():
     spec = serving_batch_spec(4, img_size=64)
     ex = example_serving_batch(4, img_size=64)
@@ -84,7 +102,9 @@ def test_export_cli(tmp_path, capsys):
           "--platforms", "cpu"])
     assert os.path.exists(out)
     assert "exported" in capsys.readouterr().out
-    cfg, model, variables, batch = _tiny_setup()
+    # validation variables must match the CLI's exported config
+    # (default --use_dcn '': plain-conv MAPEncoder param tree)
+    cfg, model, variables, batch = _tiny_setup(use_dcn="", dcn_window=0)
     fn = load_exported_file(out)
     got = fn(variables, batch)
     assert np.isfinite(np.asarray(got["rot"])).all()
