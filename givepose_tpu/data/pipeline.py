@@ -90,11 +90,16 @@ class TrainPipeline:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
 
         def worker():
-            for b in range(n_batches):
-                chunk = indices[b * bs:(b + 1) * bs]
-                rng = random.Random((self.seed, epoch_no, b))
-                q.put(self._read_batch(chunk, rng))
-            q.put(None)
+            try:
+                for b in range(n_batches):
+                    chunk = indices[b * bs:(b + 1) * bs]
+                    # str seeding hashes deterministically (sha512); a
+                    # tuple seed raises TypeError on Python >= 3.11
+                    rng = random.Random(f"{self.seed}:{epoch_no}:{b}")
+                    q.put(self._read_batch(chunk, rng))
+                q.put(None)
+            except BaseException as e:  # propagate instead of deadlock
+                q.put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -102,4 +107,6 @@ class TrainPipeline:
             batch = q.get()
             if batch is None:
                 break
+            if isinstance(batch, BaseException):
+                raise batch
             yield batch

@@ -105,7 +105,11 @@ class TestTrainCLI:
 
         # resume restores the exact step
         from givepose_tpu.core.checkpoint import restore_checkpoint
-        restored = restore_checkpoint(os.path.join(save, ckpts[0]), state)
+        ckpts = sorted(
+            (d for d in os.listdir(save) if d.startswith("scale_ckpt_")),
+            key=lambda d: int(d.rsplit("_", 1)[1]))
+        assert ckpts, os.listdir(save)
+        restored = restore_checkpoint(os.path.join(save, ckpts[-1]), state)
         assert int(restored.step) == int(state.step)
         p0 = np.asarray(
             list(np.asarray(x) for x in

@@ -225,6 +225,22 @@ class TestSampler:
         assert len(batches) == 2
         assert batches[0]["image"].shape == (2, 480, 640, 3)
 
+    def test_pipeline_propagates_worker_errors(self, synth):
+        """A failure in the prefetch thread must raise in the consumer,
+        not deadlock it on q.get() (the Python-3.12 tuple-seed TypeError
+        hung the whole CLI e2e suite this way)."""
+        data_dir, ivfc_dir = synth
+        reader = NocsRecordReader("Real", "train", data_dir, ivfc_dir)
+        pipe = TrainPipeline(reader, batch_size=2, train_size=4)
+        boom = RuntimeError("worker boom")
+
+        def bad_read(indices, rng):
+            raise boom
+
+        pipe._read_batch = bad_read
+        with pytest.raises(RuntimeError, match="worker boom"):
+            list(pipe.epoch())
+
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
