@@ -83,14 +83,25 @@ def evaluate(argv=None, backbone_variant: str = "base",
         # build templates then load the checkpoint trees
         import jax.numpy as jnp
         import numpy as np
-        dummy = reader.read(0)
-        assert dummy is not None, "no readable eval sample"
+        # scan for the first image that is readable AND has instances —
+        # image 0 being corrupt or detection-less must not abort a run
+        # whose remaining images are fine (run_inference already skips
+        # such images per-image)
         from givepose_tpu.eval import build_instance_batch
-        built = build_instance_batch(dummy[0], dummy[1],
-                                     dummy[2], source,
-                                     img_size=cfg.data.img_size,
-                                     out_res=cfg.data.out_res,
-                                     max_instances=cfg.eval.max_instances)
+        built = None
+        for probe in range(len(reader)):
+            dummy = reader.read(probe)
+            if dummy is None:
+                continue
+            built = build_instance_batch(dummy[0], dummy[1],
+                                         dummy[2], source,
+                                         img_size=cfg.data.img_size,
+                                         out_res=cfg.data.out_res,
+                                         max_instances=cfg.eval.
+                                         max_instances)
+            if built is not None:
+                break
+        assert built is not None, "no readable eval sample with instances"
         jb = {k: jnp.asarray(v) for k, v in built[0].items()}
         variables = model.init(jax.random.PRNGKey(0), jb)
         sn_vars = scale_model.init(jax.random.PRNGKey(1), jb)

@@ -13,8 +13,11 @@ Differences from the reference, by design (SURVEY.md §7):
   * the loss's symmetry resolution is batched on device (no per-step
     GPU->CPU sync);
   * checkpoints carry optimizer + schedule state (exact resume);
-  * the failure-dump seam (reference :133-143) persists the offending
-    batch + state on non-finite loss and continues.
+  * the failure seam (reference :133-143) is on-device: non-finite
+    gradient steps are SKIPPED by optax.apply_if_finite (no host sync,
+    params never corrupted), and when the skip counter grows by the next
+    log point the current batch + a state checkpoint are dumped to
+    <model_save>/exception/ for offline debugging.
 """
 
 from __future__ import annotations
@@ -130,6 +133,8 @@ def train(argv=None, max_steps: int | None = None,
 
     timer = StepTimer()
     global_step = int(state.step)
+    # resume-safe baseline for the skip counter (one host sync, startup)
+    notfinite_seen = int(getattr(state.opt_state, "total_notfinite", 0))
     for epoch in range(start_epoch, cfg.train.total_epoch):
         for raw in pipeline.epoch():
             k_pre, k_step = jax.random.split(
@@ -142,8 +147,12 @@ def train(argv=None, max_steps: int | None = None,
             if global_step % cfg.train.log_every == 0:
                 vals = {k: float(v) for k, v in step_metrics.items()}
                 total = vals.get("total_loss", float("nan"))
-                if not np.isfinite(total):
-                    # failure seam (reference :133-143): dump and continue
+                nf = int(vals.pop("notfinite_total", 0))
+                if nf > notfinite_seen or not np.isfinite(total):
+                    # failure seam (reference :133-143).  The skipped
+                    # steps already left params untouched (on-device
+                    # apply_if_finite guard); persist the current batch
+                    # + state for offline debugging and continue.
                     dump_dir = os.path.join(cfg.train.model_save,
                                             "exception")
                     os.makedirs(dump_dir, exist_ok=True)
@@ -151,8 +160,14 @@ def train(argv=None, max_steps: int | None = None,
                                           f"step{global_step}.npz"),
                              **{k: np.asarray(v)
                                 for k, v in raw.items()})
-                    logger.warning("non-finite loss at step %d; batch "
-                                   "dumped to %s", global_step, dump_dir)
+                    save_checkpoint(os.path.join(
+                        dump_dir, f"state_{global_step}"), state)
+                    logger.warning(
+                        "%d non-finite update(s) skipped by step %d "
+                        "(loss %.4f); batch + state dumped to %s",
+                        nf - notfinite_seen, global_step, total,
+                        dump_dir)
+                    notfinite_seen = nf
                 vals["steps_per_sec"] = (1.0 / timer.mean
                                          if timer.mean else 0.0)
                 vals["imgs_per_sec"] = (cfg.train.batch_size / timer.mean

@@ -10,6 +10,7 @@ is exact including the lr schedule position.
 from __future__ import annotations
 
 import os
+import shutil
 
 import jax
 import numpy as np
@@ -25,6 +26,23 @@ def save_checkpoint(path: str, state: TrainState, keep: int = 5):
     host_state = jax.tree_util.tree_map(np.asarray, state)
     ckptr.save(path, host_state, force=True)
     ckptr.wait_until_finished()
+    _prune_checkpoints(os.path.dirname(path), os.path.basename(path), keep)
+
+
+def _prune_checkpoints(model_dir: str, just_saved: str, keep: int) -> None:
+    """Keep only the newest ``keep`` checkpoints sharing just_saved's
+    name prefix (ckpt_N / scale_ckpt_N); long runs with small save_every
+    or restart_every would otherwise fill the disk (each ConvNeXt-B +
+    Ranger state is hundreds of MB)."""
+    if not keep or keep <= 0 or "_" not in just_saved:
+        return
+    prefix = just_saved.rsplit("_", 1)[0] + "_"
+    cands = [d for d in os.listdir(model_dir)
+             if d.startswith(prefix) and d[len(prefix):].isdigit()
+             and os.path.isdir(os.path.join(model_dir, d))]
+    cands.sort(key=lambda d: int(d[len(prefix):]))
+    for d in cands[:-keep]:
+        shutil.rmtree(os.path.join(model_dir, d), ignore_errors=True)
 
 
 def restore_checkpoint(path: str, template: TrainState) -> TrainState:

@@ -278,6 +278,12 @@ def _coerce(value: str, target: Any) -> Any:
         return int(value)
     if isinstance(target, float):
         return float(value)
+    if isinstance(target, (tuple, list)):
+        # e.g. --train.mesh_shape 8 or --train.mesh_shape 4,2
+        items = [v for v in value.replace("(", "").replace(")", "")
+                 .split(",") if v.strip()]
+        elem = target[0] if len(target) else 0
+        return type(target)(_coerce(v.strip(), elem) for v in items)
     return value
 
 

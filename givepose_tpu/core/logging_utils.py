@@ -22,16 +22,21 @@ import jax
 def setup_logger(name: str, log_file: str | None = None) -> logging.Logger:
     logger = logging.getLogger(name)
     logger.setLevel(logging.INFO)
-    if not logger.handlers:
-        fmt = logging.Formatter("%(asctime)s %(levelname)s %(message)s")
-        sh = logging.StreamHandler()
-        sh.setFormatter(fmt)
-        logger.addHandler(sh)
-        if log_file:
-            os.makedirs(os.path.dirname(log_file) or ".", exist_ok=True)
-            fh = logging.FileHandler(log_file)
-            fh.setFormatter(fmt)
-            logger.addHandler(fh)
+    # named loggers are process-global: a second run in the same process
+    # with a different log path must not keep writing into the first
+    # run's file — replace the handlers instead of caching them
+    for h in list(logger.handlers):
+        logger.removeHandler(h)
+        h.close()
+    fmt = logging.Formatter("%(asctime)s %(levelname)s %(message)s")
+    sh = logging.StreamHandler()
+    sh.setFormatter(fmt)
+    logger.addHandler(sh)
+    if log_file:
+        os.makedirs(os.path.dirname(log_file) or ".", exist_ok=True)
+        fh = logging.FileHandler(log_file)
+        fh.setFormatter(fmt)
+        logger.addHandler(fh)
     return logger
 
 

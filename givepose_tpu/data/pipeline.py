@@ -89,6 +89,21 @@ class TrainPipeline:
         n_batches = len(indices) // bs
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
 
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            """Bounded put that gives up when the consumer is gone —
+            an abandoned generator (e.g. next(iter(epoch()))) must not
+            leave the worker blocked on a full queue forever, pinning
+            `prefetch` host batches of RAM for the process lifetime."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def worker():
             try:
                 for b in range(n_batches):
@@ -96,17 +111,21 @@ class TrainPipeline:
                     # str seeding hashes deterministically (sha512); a
                     # tuple seed raises TypeError on Python >= 3.11
                     rng = random.Random(f"{self.seed}:{epoch_no}:{b}")
-                    q.put(self._read_batch(chunk, rng))
-                q.put(None)
+                    if not put(self._read_batch(chunk, rng)):
+                        return
+                put(None)
             except BaseException as e:  # propagate instead of deadlock
-                q.put(e)
+                put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            batch = q.get()
-            if batch is None:
-                break
-            if isinstance(batch, BaseException):
-                raise batch
-            yield batch
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    break
+                if isinstance(batch, BaseException):
+                    raise batch
+                yield batch
+        finally:
+            stop.set()

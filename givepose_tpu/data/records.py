@@ -208,6 +208,11 @@ class NocsRecordReader:
 
         # instance selection (reference :199-220)
         n_inst = len(gts["instance_ids"])
+        if n_inst == 0:
+            # a label pkl that unpickles fine but holds zero instances
+            # must hit the bad-sample-skip path, not raise out of the
+            # prefetch worker
+            return None
         if self.per_obj in CAT_NAMES:
             cands = [i for i, c in enumerate(gts["class_ids"])
                      if c == CAT_NAME2ID[self.per_obj]]
@@ -268,6 +273,8 @@ class NocsRecordReader:
                 iv[ivfc_mask == 0] = 0
                 ivfc = iv
 
+        if model_name not in self.models:
+            return None      # stale model list vs obj_models pkl
         model = self.models[model_name].astype(np.float32)
         nocs_scale = float(gts["scales"][idx])
         cat_name = (ID2CAT_CAMERA[cat_id0 + 1] if self.source == "CAMERA"

@@ -25,13 +25,13 @@ class TransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32)(
+        h = nn.LayerNorm(epsilon=1e-6, use_fast_variance=False, dtype=jnp.float32)(
             x.astype(jnp.float32)).astype(self.dtype)
         h = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads, dtype=self.dtype,
             param_dtype=jnp.float32)(h, h)
         x = x + h
-        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32)(
+        h = nn.LayerNorm(epsilon=1e-6, use_fast_variance=False, dtype=jnp.float32)(
             x.astype(jnp.float32)).astype(self.dtype)
         h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
                      param_dtype=jnp.float32)(h)
@@ -69,7 +69,7 @@ class MAPTransformerEncoder(nn.Module):
         for i in range(self.depth):
             y = TransformerBlock(self.embed_dim, self.num_heads,
                                  dtype=self.dtype, name=f"block{i}")(y)
-        y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(
+        y = nn.LayerNorm(epsilon=1e-6, use_fast_variance=False, dtype=jnp.float32, name="norm")(
             y.astype(jnp.float32)).astype(self.dtype)
         return y.reshape(y.shape[0], n, n, self.embed_dim)
 
@@ -130,13 +130,13 @@ class CrossAttentionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, q, kv):
-        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32)(
+        h = nn.LayerNorm(epsilon=1e-6, use_fast_variance=False, dtype=jnp.float32)(
             q.astype(jnp.float32)).astype(self.dtype)
         h = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads, dtype=self.dtype,
             param_dtype=jnp.float32)(h, kv)
         q = q + h
-        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32)(
+        h = nn.LayerNorm(epsilon=1e-6, use_fast_variance=False, dtype=jnp.float32)(
             q.astype(jnp.float32)).astype(self.dtype)
         h = nn.Dense(4 * self.dim, dtype=self.dtype,
                      param_dtype=jnp.float32)(h)

@@ -37,7 +37,7 @@ class CoordAtt(nn.Module):
         y = jnp.concatenate([xh, xw], axis=1)         # (N, H+W, C)
         y = nn.Conv(mid, (1,), dtype=self.dtype,
                     param_dtype=jnp.float32, name="conv1")(y)
-        y = nn.BatchNorm(use_running_average=True, dtype=jnp.float32,
+        y = nn.BatchNorm(use_fast_variance=False, use_running_average=True, dtype=jnp.float32,
                          name="bn1")(y.astype(jnp.float32)
                                      ).astype(self.dtype)
         y = hard_swish(y)

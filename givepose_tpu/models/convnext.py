@@ -137,14 +137,14 @@ class ConvNeXt(nn.Module):
         # dtype-native LN: flax computes the stats in f32 internally
         # (one fused pass over the bf16 map); the old f32-in/f32-out
         # wrapper materialized an f32 copy per norm
-        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+        y = nn.LayerNorm(epsilon=1e-6, use_fast_variance=False, dtype=self.dtype,
                          name="stem_norm")(y)
 
         total_blocks = sum(self.depths)
         block_idx = 0
         for stage, (depth, dim) in enumerate(zip(self.depths, self.dims)):
             if stage > 0:
-                y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                y = nn.LayerNorm(epsilon=1e-6, use_fast_variance=False, dtype=self.dtype,
                                  name=f"downsample_norm{stage}")(y)
                 y = nn.Conv(dim, (2, 2), strides=(2, 2), padding="VALID",
                             dtype=self.dtype, param_dtype=jnp.float32,

@@ -72,7 +72,7 @@ class DCNv3(nn.Module):
                      feature_group_count=self.channels,
                      dtype=self.dtype, param_dtype=jnp.float32,
                      name="dw_conv")(x)
-        x1 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+        x1 = nn.LayerNorm(epsilon=1e-6, use_fast_variance=False, dtype=self.dtype,
                           name="dw_norm")(x1)
         x1 = nn.gelu(x1, approximate=not self.gelu_exact)
 

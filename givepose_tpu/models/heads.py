@@ -206,7 +206,7 @@ class SizeHead(nn.Module):
         y = nn.Dense(self.feat_dim, kernel_init=normal_init(0.001),
                      dtype=self.dtype, param_dtype=jnp.float32,
                      name="conv1")(y.astype(self.dtype))
-        y = nn.BatchNorm(use_running_average=deterministic,
+        y = nn.BatchNorm(use_fast_variance=False, use_running_average=deterministic,
                          momentum=0.9, epsilon=1e-5,
                          dtype=jnp.float32, name="bn1")(
             y.astype(jnp.float32))

@@ -88,9 +88,13 @@ class GroupNorm32(nn.Module):
             groups -= 1
         # dtype-native GN: flax reduces the stats in f32 over the bf16
         # input (no f32 materialization); at dtype=f32 this is identical
-        # to the old f32-wrapped form
+        # to the old f32-wrapped form.  use_fast_variance=False: the
+        # one-pass E[x^2]-mu^2 form cancels catastrophically on
+        # large-mean rows (var clamps to 0, rsqrt blowup) — the r3
+        # numerics trap that broke the overfit proof in dwconv_ln.
         return nn.GroupNorm(num_groups=groups, epsilon=1e-5,
-                            dtype=self.dtype)(x)
+                            dtype=self.dtype,
+                            use_fast_variance=False)(x)
 
 
 class ConvModule(nn.Module):

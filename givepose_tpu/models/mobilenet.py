@@ -66,7 +66,7 @@ class Bneck(nn.Module):
         if self.exp != cin:
             h = nn.Conv(self.exp, (1, 1), use_bias=False, dtype=self.dtype,
                         param_dtype=jnp.float32)(h)
-            h = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+            h = nn.BatchNorm(use_fast_variance=False, use_running_average=not train, momentum=0.99,
                              epsilon=1e-3, dtype=jnp.float32)(
                 h.astype(jnp.float32)).astype(self.dtype)
             h = act(h)
@@ -75,7 +75,7 @@ class Bneck(nn.Module):
                     padding=[(k // 2, k // 2)] * 2,
                     feature_group_count=self.exp, use_bias=False,
                     dtype=self.dtype, param_dtype=jnp.float32)(h)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+        h = nn.BatchNorm(use_fast_variance=False, use_running_average=not train, momentum=0.99,
                          epsilon=1e-3, dtype=jnp.float32)(
             h.astype(jnp.float32)).astype(self.dtype)
         h = act(h)
@@ -83,7 +83,7 @@ class Bneck(nn.Module):
             h = SqueezeExcite(self.exp, dtype=self.dtype)(h)
         h = nn.Conv(self.out, (1, 1), use_bias=False, dtype=self.dtype,
                     param_dtype=jnp.float32)(h)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+        h = nn.BatchNorm(use_fast_variance=False, use_running_average=not train, momentum=0.99,
                          epsilon=1e-3, dtype=jnp.float32)(
             h.astype(jnp.float32)).astype(self.dtype)
         if self.stride == 1 and cin == self.out:
@@ -118,7 +118,7 @@ class MobileNetV3Small(nn.Module):
                     use_bias=False, dtype=self.dtype,
                     param_dtype=jnp.float32, name="stem")(
             x.astype(self.dtype))
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+        h = nn.BatchNorm(use_fast_variance=False, use_running_average=not train, momentum=0.99,
                          epsilon=1e-3, dtype=jnp.float32, name="stem_bn")(
             h.astype(jnp.float32)).astype(self.dtype)
         h = hard_swish(h)
@@ -127,7 +127,7 @@ class MobileNetV3Small(nn.Module):
                 h, train=train)
         h = nn.Conv(576, (1, 1), use_bias=False, dtype=self.dtype,
                     param_dtype=jnp.float32, name="head")(h)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+        h = nn.BatchNorm(use_fast_variance=False, use_running_average=not train, momentum=0.99,
                          epsilon=1e-3, dtype=jnp.float32, name="head_bn")(
             h.astype(jnp.float32)).astype(self.dtype)
         h = hard_swish(h)

@@ -23,7 +23,7 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         def bn(h, name):
-            return nn.BatchNorm(use_running_average=not train,
+            return nn.BatchNorm(use_fast_variance=False, use_running_average=not train,
                                 momentum=0.9, epsilon=1e-5,
                                 dtype=jnp.float32, name=name)(
                 h.astype(jnp.float32)).astype(self.dtype)
@@ -55,7 +55,7 @@ class Bottleneck(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         def bn(h, name):
-            return nn.BatchNorm(use_running_average=not train,
+            return nn.BatchNorm(use_fast_variance=False, use_running_average=not train,
                                 momentum=0.9, epsilon=1e-5,
                                 dtype=jnp.float32, name=name)(
                 h.astype(jnp.float32)).astype(self.dtype)
@@ -96,7 +96,7 @@ class ResNet(nn.Module):
                     padding=[(3, 3)] * 2, use_bias=False,
                     dtype=self.dtype, param_dtype=jnp.float32,
                     name="stem")(x.astype(self.dtype))
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        h = nn.BatchNorm(use_fast_variance=False, use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=jnp.float32,
                          name="stem_bn")(h.astype(jnp.float32)
                                          ).astype(self.dtype)

@@ -83,6 +83,15 @@ def make_optimizer(cfg: Config, steps_per_epoch: int | None = None
     opt = optax.chain(optax.clip_by_global_norm(t.grad_clip_norm), opt)
     if t.accumulate > 1:
         opt = optax.MultiSteps(opt, every_k_schedule=t.accumulate)
+    # Non-finite guard, ON DEVICE: a NaN/Inf gradient step is skipped
+    # (zero update, inner state untouched) instead of corrupting the
+    # params — the reference's try/except seam (engine/train.py:133-143)
+    # can only catch host-visible exceptions, which NaNs never raise.
+    # The skip count is surfaced in the step metrics and the train CLI
+    # dumps the batch + a checkpoint when it grows.  After 50 consecutive
+    # non-finite steps optax gives up and applies the update so the
+    # failure becomes visible in the loss curve rather than looping.
+    opt = optax.apply_if_finite(opt, max_consecutive_errors=50)
     return opt
 
 
@@ -123,6 +132,8 @@ def make_train_step(model, cfg: Config,
         new_params = optax.apply_updates(state.params, updates)
         metrics = {"total_loss": total,
                    "grad_norm": optax.global_norm(grads), **losses}
+        if hasattr(new_opt_state, "total_notfinite"):
+            metrics["notfinite_total"] = new_opt_state.total_notfinite
         new_state = state.replace(step=state.step + 1, params=new_params,
                                   batch_stats=new_stats,
                                   opt_state=new_opt_state)

@@ -46,14 +46,16 @@ class TestTrainCLI:
 
     def test_train_scale_bn_freeze_serves_trained_function(
             self, synth_train, tmp_path):
-        """After bn_freeze_point the scale trainer recalibrates, freezes
-        the BN stats, and fine-tunes the exact serving function — so
-        applying the checkpointed variables in eval mode must reproduce
-        the last logged (frozen-phase) train loss exactly.  Guards the
-        small-batch BN co-adaptation failure that cost 0.036 abs scale
-        error at eval while train loss read 0.005 (fixed 08-18)."""
-        import json
-
+        """After bn_freeze_point the scale trainer recalibrates the BN
+        running stats (precise-BN), FREEZES them, and fine-tunes the
+        exact serving function (eval-mode apply) — the mechanism behind
+        the 08-18 co-adaptation fix (eval scale err 0.036 -> 0.001 on
+        the overfit fixture).  This pins the MECHANISM deterministically:
+        (a) the frozen phase never mutates batch_stats, (b) it does
+        update params, (c) the checkpoint restores the serving function
+        bit-exactly.  Loss-quality bars live in the overfit harness —
+        on this 4-image batch-2 fixture the quantity is chaotic (N=2
+        batch whitening vs any fixed stats), not a contract."""
         import jax
         import jax.numpy as jnp
         import numpy as np
@@ -62,63 +64,72 @@ class TestTrainCLI:
         from givepose_tpu.cli.train import build_model_batch
         from givepose_tpu.core.config import Config, parse_overrides
         from givepose_tpu.data import NocsRecordReader, TrainPipeline
-        from givepose_tpu.losses import scale_loss
         from givepose_tpu.models import ScaleNet
 
         data_dir, ivfc_dir = synth_train
-        save = str(tmp_path / "run_sn")
-        argv = [
-            "--dataset", "Real", "--dataset_dir", data_dir,
-            "--data.ivfc_dir", ivfc_dir, "--batch_size", "2",
-            "--train_size", "4", "--total_epoch", "1",
-            "--img_size", "64", "--out_res", "16",
-            "--model_save", save, "--log_every", "1",
-            "--model.compute_dtype", "float32", "--warmup_iters", "1",
-            "--bn_freeze_point", "0.5", "--bn_recal_batches", "2",
-        ]
-        state = train_scale(argv, max_steps=4)
-        # steps 2,3 ran in the frozen phase
-        log = os.path.join(save, "log_train_scale.txt")
+
+        def argv(save, freeze_point):
+            # freeze_at = int(freeze_point * max_steps): pick the ratio
+            # per run so BOTH runs freeze at the same absolute step 2
+            return [
+                "--dataset", "Real", "--dataset_dir", data_dir,
+                "--data.ivfc_dir", ivfc_dir, "--batch_size", "2",
+                "--train_size", "4", "--total_epoch", "1",
+                "--img_size", "64", "--out_res", "16",
+                "--model_save", save, "--log_every", "1",
+                "--model.compute_dtype", "float32",
+                "--warmup_iters", "1",
+                "--bn_freeze_point", freeze_point,
+                "--bn_recal_batches", "2",
+            ]
+
+        save4 = str(tmp_path / "run_sn4")
+        state4 = train_scale(argv(save4, "0.5"), max_steps=4)
+        log = os.path.join(save4, "log_train_scale.txt")
+        assert "BN recalibrated" in open(log).read()
         assert "BN frozen at step 2" in open(log).read()
 
-        cfg = parse_overrides(Config(), argv)
+        # a longer run past the same freeze point: the frozen phase must
+        # have updated params WITHOUT touching the frozen batch_stats
+        save6 = str(tmp_path / "run_sn6")
+        state6 = train_scale(argv(save6, "0.34"), max_steps=6)
+        assert "BN frozen at step 2" in open(
+            os.path.join(save6, "log_train_scale.txt")).read()
+        for a, b in zip(jax.tree_util.tree_leaves(state4.batch_stats),
+                        jax.tree_util.tree_leaves(state6.batch_stats)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        diffs = [float(jnp.max(jnp.abs(a - b))) for a, b in
+                 zip(jax.tree_util.tree_leaves(state4.params),
+                     jax.tree_util.tree_leaves(state6.params))]
+        assert max(diffs) > 0.0, "frozen phase did not train params"
+
+        # the checkpointed serving function reproduces eval-mode apply
+        # bit-exactly on a fixed batch
+        cfg = parse_overrides(Config(), argv(save4, "0.5"))
+        model = ScaleNet(feat_dim=cfg.model.feat_dim,
+                         use_hw=cfg.model.use_hw)
         reader = NocsRecordReader("Real", "train", data_dir, ivfc_dir)
         pipeline = TrainPipeline(reader, 2, 4, cfg.data.syn_ratio,
                                  seed=cfg.train.seed)
-        model = ScaleNet(feat_dim=cfg.model.feat_dim,
-                         use_hw=cfg.model.use_hw)
         raw = next(iter(pipeline.epoch()))
         batch = build_model_batch(raw, jax.random.PRNGKey(3), cfg)
-        v = {"params": state.params, "batch_stats": state.batch_stats}
-        pred = model.apply(v, batch)          # eval mode == serving
-        gt = jnp.linalg.norm(batch["real_size"], axis=1)
-        eval_loss = float(scale_loss(cfg.loss, pred, gt))
-        assert np.isfinite(eval_loss)
-        # the serving function is the trained function: loss in eval mode
-        # stays in the same regime as the frozen-phase train loss (no
-        # hidden train/serve normalization gap)
-        metrics = [json.loads(l) for l in
-                   open(os.path.join(save, "metrics.jsonl"))]
-        last_train = metrics[-1]["scale_loss"]
-        assert eval_loss <= max(5 * last_train, last_train + 0.05), (
-            eval_loss, last_train)
+        v = {"params": state6.params, "batch_stats": state6.batch_stats}
+        pred = np.asarray(model.apply(v, batch))   # eval mode == serving
+        assert np.isfinite(pred).all()
 
-        # resume restores the exact step
         from givepose_tpu.core.checkpoint import restore_checkpoint
         ckpts = sorted(
-            (d for d in os.listdir(save) if d.startswith("scale_ckpt_")),
+            (d for d in os.listdir(save6)
+             if d.startswith("scale_ckpt_")),
             key=lambda d: int(d.rsplit("_", 1)[1]))
-        assert ckpts, os.listdir(save)
-        restored = restore_checkpoint(os.path.join(save, ckpts[-1]), state)
-        assert int(restored.step) == int(state.step)
-        p0 = np.asarray(
-            list(np.asarray(x) for x in
-                 __import__("jax").tree_util.tree_leaves(state.params))[0])
-        r0 = np.asarray(
-            list(np.asarray(x) for x in
-                 __import__("jax").tree_util.tree_leaves(
-                     restored.params))[0])
-        np.testing.assert_allclose(p0, r0)
+        assert ckpts, os.listdir(save6)
+        restored = restore_checkpoint(os.path.join(save6, ckpts[-1]),
+                                      state6)
+        assert int(restored.step) == int(state6.step)
+        rv = {"params": restored.params,
+              "batch_stats": restored.batch_stats}
+        np.testing.assert_array_equal(np.asarray(model.apply(rv, batch)),
+                                      pred)
 
 
 class TestRestartEvery:
@@ -189,3 +200,28 @@ class TestEvalCLI:
             "--eval.max_instances", "4",
         ], backbone_variant="tiny")
         assert "absolute" in out and "relative" in out
+
+
+class TestConfigAndLogging:
+    def test_tuple_field_coercion(self):
+        from givepose_tpu.core.config import Config, parse_overrides
+
+        cfg = parse_overrides(Config(), ["--train.mesh_shape", "8"])
+        assert cfg.train.mesh_shape == (8,)
+        cfg = parse_overrides(Config(), ["--train.mesh_shape=4,2"])
+        assert cfg.train.mesh_shape == (4, 2)
+        cfg = parse_overrides(Config(), ["--train.mesh_shape", ""])
+        assert cfg.train.mesh_shape == ()
+
+    def test_setup_logger_retargets_file(self, tmp_path):
+        """A second in-process run with a different log path must write
+        to ITS file, not the first run's (named loggers are global)."""
+        from givepose_tpu.core.logging_utils import setup_logger
+
+        f1 = str(tmp_path / "a" / "log.txt")
+        f2 = str(tmp_path / "b" / "log.txt")
+        setup_logger("retarget_test", f1).info("first run")
+        setup_logger("retarget_test", f2).info("second run")
+        assert "first run" in open(f1).read()
+        assert "second run" in open(f2).read()
+        assert "second run" not in open(f1).read()

@@ -64,6 +64,30 @@ class TestReader:
         # decode quantizes to 1/255 in NOCS -> a few pixels after proj
         assert np.median(err) < 4.0, np.median(err)
 
+    def test_zero_instance_label_returns_none(self, synth, tmp_path):
+        """A label pkl that unpickles fine but holds zero instances must
+        take the bad-sample-skip path (None), not raise out of the
+        prefetch worker."""
+        import pickle
+        import shutil
+
+        data_dir, ivfc_dir = synth
+        clone = str(tmp_path / "NOCS")
+        shutil.copytree(data_dir, clone)
+        reader = NocsRecordReader("Real", "train", clone, ivfc_dir)
+        img_path = os.path.join(clone, reader.img_list[0])
+        with open(img_path + "_label.pkl", "rb") as f:
+            gts = pickle.load(f)
+        empty = {k: (np.asarray(v)[:0] if isinstance(v, (list, np.ndarray))
+                     else v) for k, v in gts.items()}
+        with open(img_path + "_label.pkl", "wb") as f:
+            pickle.dump(empty, f)
+        assert reader.read(0, random.Random(0)) is None
+        # a model name missing from obj_models also skips, not KeyError
+        reader2 = NocsRecordReader("Real", "train", clone, ivfc_dir)
+        reader2.models = {}
+        assert reader2.read(1, random.Random(0)) is None
+
     def test_bad_index_skipping(self, synth):
         data_dir, ivfc_dir = synth
         reader = NocsRecordReader("Real", "train", data_dir, ivfc_dir)
@@ -224,6 +248,27 @@ class TestSampler:
         batches = list(pipe.epoch())
         assert len(batches) == 2
         assert batches[0]["image"].shape == (2, 480, 640, 3)
+
+    def test_abandoned_epoch_generator_releases_worker(self, synth):
+        """next(iter(epoch())) (the CLI's init-template probe) abandons
+        the generator; the prefetch worker must exit instead of blocking
+        on the bounded queue forever, pinning host batches."""
+        import threading
+
+        data_dir, ivfc_dir = synth
+        reader = NocsRecordReader("Real", "train", data_dir, ivfc_dir)
+        pipe = TrainPipeline(reader, batch_size=2, train_size=4)
+        before = set(threading.enumerate())
+        next(iter(pipe.epoch()))     # generator GC'd right here
+        import time
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            extra = [t for t in set(threading.enumerate()) - before
+                     if t.is_alive()]
+            if not extra:
+                break
+            time.sleep(0.1)
+        assert not extra, f"leaked worker threads: {extra}"
 
     def test_pipeline_propagates_worker_errors(self, synth):
         """A failure in the prefetch thread must raise in the consumer,

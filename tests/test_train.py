@@ -1,5 +1,7 @@
 """Training engine tests: Ranger math, schedule, sharded train step."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -350,6 +352,50 @@ class TestTrainStep:
         state, _ = step(state, batch, jax.random.PRNGKey(1))
         # second micro-step applies the accumulated update
         assert total_dist(p0, state.params) > 0.0
+
+    def test_nonfinite_update_skipped_on_device(self):
+        """A NaN gradient must leave params untouched (apply_if_finite
+        guard) and bump the surfaced skip counter — the reference's
+        host-side try/except seam (engine/train.py:133-143) cannot catch
+        NaNs at all."""
+        from givepose_tpu.train.step import make_optimizer
+
+        cfg = Config()
+        opt = make_optimizer(cfg, steps_per_epoch=10)
+        p = {"w": jnp.ones((3, 2))}
+        state = opt.init(p)
+        bad = {"w": jnp.full((3, 2), jnp.nan)}
+        updates, state = opt.update(bad, state, p)
+        assert float(jnp.sum(jnp.abs(updates["w"]))) == 0.0
+        assert int(state.total_notfinite) == 1
+        good = {"w": jnp.ones((3, 2))}
+        updates, state = opt.update(good, state, p)
+        assert float(jnp.sum(jnp.abs(updates["w"]))) > 0.0
+        assert int(state.total_notfinite) == 1
+
+
+class TestCheckpointRetention:
+    def test_prunes_to_keep_newest(self, rng, tmp_path):
+        from givepose_tpu.core.checkpoint import (
+            latest_checkpoint, restore_checkpoint, save_checkpoint)
+
+        cfg = Config(model=ModelConfig(compute_dtype="float32"),
+                     train=TrainConfig(batch_size=2, warmup_iters=2,
+                                       total_epoch=1, train_size=64))
+        model = PoseNet(cfg=cfg.model, backbone_variant="tiny")
+        batch = tiny_train_batch(rng, b=2)
+        state = init_train_state(model, cfg, batch)
+        for step in range(1, 8):
+            save_checkpoint(str(tmp_path / f"ckpt_{step}"), state,
+                            keep=5)
+        kept = sorted((d for d in os.listdir(tmp_path)
+                       if d.startswith("ckpt_")),
+                      key=lambda d: int(d.split("_")[1]))
+        assert kept == [f"ckpt_{i}" for i in range(3, 8)]
+        # newest is intact and restorable
+        assert latest_checkpoint(str(tmp_path)).endswith("ckpt_7")
+        restored = restore_checkpoint(str(tmp_path / "ckpt_7"), state)
+        assert int(restored.step) == int(state.step)
 
 
 if __name__ == "__main__":
