@@ -161,7 +161,8 @@ def train(argv=None, max_steps: int | None = None,
                              **{k: np.asarray(v)
                                 for k, v in raw.items()})
                     save_checkpoint(os.path.join(
-                        dump_dir, f"state_{global_step}"), state)
+                        dump_dir, f"state_{global_step}"), state,
+                        keep=3)
                     logger.warning(
                         "%d non-finite update(s) skipped by step %d "
                         "(loss %.4f); batch + state dumped to %s",
@@ -179,18 +180,20 @@ def train(argv=None, max_steps: int | None = None,
             if max_steps is not None and global_step >= max_steps:
                 save_checkpoint(os.path.join(cfg.train.model_save,
                                              f"ckpt_{global_step}"),
-                                state)
+                                state, keep=cfg.train.keep_checkpoints)
                 return state
         if (epoch + 1) % cfg.train.save_every == 0 \
                 or epoch == cfg.train.total_epoch - 1:
             save_checkpoint(os.path.join(cfg.train.model_save,
-                                         f"ckpt_{global_step}"), state)
+                                         f"ckpt_{global_step}"), state,
+                            keep=cfg.train.keep_checkpoints)
             logger.info("saved checkpoint at epoch %d", epoch)
         if (cfg.train.restart_every
                 and (epoch + 1) % cfg.train.restart_every == 0
                 and epoch != cfg.train.total_epoch - 1):
             save_checkpoint(os.path.join(cfg.train.model_save,
-                                         f"ckpt_{global_step}"), state)
+                                         f"ckpt_{global_step}"), state,
+                            keep=cfg.train.keep_checkpoints)
             logger.info("restart_every: exiting cleanly after epoch %d "
                         "(resume with --resume 1)", epoch)
             metrics_log.close()

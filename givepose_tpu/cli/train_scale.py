@@ -196,7 +196,8 @@ def train_scale(argv=None, max_steps: int | None = None):
                     state = recalibrate_bn(state, key)
                 save_checkpoint(os.path.join(cfg.train.model_save,
                                              f"scale_ckpt_{global_step}"),
-                                state)
+                                state,
+                                keep=cfg.train.keep_checkpoints)
                 return state
         if max_steps is None and ((epoch + 1) % cfg.train.save_every == 0
                                   or epoch == cfg.train.total_epoch - 1):
@@ -205,7 +206,8 @@ def train_scale(argv=None, max_steps: int | None = None):
                 state = recalibrate_bn(state, key)
             save_checkpoint(os.path.join(cfg.train.model_save,
                                          f"scale_ckpt_{global_step}"),
-                            state)
+                            state,
+                            keep=cfg.train.keep_checkpoints)
     metrics_log.close()
     return state
 

@@ -19,7 +19,7 @@ import orbax.checkpoint as ocp
 from givepose_tpu.train.step import TrainState
 
 
-def save_checkpoint(path: str, state: TrainState, keep: int = 5):
+def save_checkpoint(path: str, state: TrainState, keep: int = 0):
     path = os.path.abspath(path)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     ckptr = ocp.StandardCheckpointer()

@@ -119,6 +119,11 @@ class TrainConfig:
     warmup_method: str = "linear"
     grad_clip_norm: float = 5.0           # reference engine/train.py:127
     save_every: int = 50
+    # checkpoint retention: keep only the newest N ckpt_* dirs (0 = keep
+    # all, the reference's torch.save-every-save_every behavior).  Set
+    # for long restart_every campaigns so the run does not fill the disk
+    # (each ConvNeXt-B + Ranger state is hundreds of MB).
+    keep_checkpoints: int = 0
     log_every: int = 100
     model_save: str = "output/model_save"
     resume: bool = False
