@@ -83,7 +83,12 @@ def crop_coord_2d(center, scale, out_res, im_w, im_h):
     ny = (sy - (im_h - 1) / 2) / ((im_h - 1) / 2)
     xx = jnp.broadcast_to(nx[:, None, :], (nx.shape[0], out_res, out_res))
     yy = jnp.broadcast_to(ny[:, :, None], (ny.shape[0], out_res, out_res))
-    return jnp.stack([xx, yy], axis=-1)
+    # cv2.warpAffine zero border (reference :285-287): cells whose
+    # nearest source pixel is outside the image get (0,0), not the
+    # extrapolated grid value (matches ops/resample.crop_coord_2d_np)
+    valid = ((sx >= 0) & (sx <= im_w - 1))[:, None, :] \
+        & ((sy >= 0) & (sy <= im_h - 1))[:, :, None]
+    return jnp.stack([xx, yy], axis=-1) * valid[..., None]
 
 
 @partial(jax.jit, static_argnames=("img_size", "out_res", "train",

@@ -62,6 +62,14 @@ def compute_degree_cm_map(results, synset_names=None,
         pr_rts = np.asarray(res["pred_RTs"], np.float64).reshape(-1, 4, 4)
         pr_scales = np.asarray(res["pred_scales"],
                                np.float64).reshape(-1, 3)
+        boxes = np.asarray(res.get("pred_bboxes", ()))
+        if len(pr_cls) and boxes.ndim == 2 and len(boxes) == len(pr_cls):
+            # reference compute_3d_matches trims zero-padded detection
+            # rows before matching (eval_utils_cass.py:277-279) — keeps
+            # third-party result pickles with padded arrays comparable
+            keep = ~np.all(boxes == 0, axis=1)
+            pr_cls, pr_scores = pr_cls[keep], pr_scores[keep]
+            pr_rts, pr_scales = pr_rts[keep], pr_scales[keep]
         if len(gt_cls) == 0 and len(pr_cls) == 0:
             continue
 

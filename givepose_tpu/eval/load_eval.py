@@ -294,8 +294,9 @@ class WildEvalReader:
             return None
         bbox = np.array([ys.min(), xs.min(), ys.max(), xs.max()])
 
-        k = np.asarray(ann["K"], np.float32).reshape(3, 3) \
-            if "K" in ann else None
+        if "K" not in ann:
+            return None      # no intrinsics: skip like other bad files
+        k = np.asarray(ann["K"], np.float32).reshape(3, 3)
         cat_id = self.CATEGORIES.index(cat) + 1
         cat_id = {1: 1, 2: 2, 3: 3, 4: 5, 5: 6}[cat_id]  # skip 'can'
         det = {

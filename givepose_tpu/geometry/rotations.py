@@ -125,26 +125,18 @@ def mat_to_quat(m: jnp.ndarray) -> jnp.ndarray:
 
 
 def euler_to_mat(euler: jnp.ndarray) -> jnp.ndarray:
-    """XYZ intrinsic euler angles (radians) -> rotation matrix.
-
-    Reference rot_reps euler2mat_batch semantics: R = Rz @ Ry @ Rx.
-    """
-    x, y, z = euler[..., 0], euler[..., 1], euler[..., 2]
-    cx, sx = jnp.cos(x), jnp.sin(x)
-    cy, sy = jnp.cos(y), jnp.sin(y)
-    cz, sz = jnp.cos(z), jnp.sin(z)
-    r00 = cz * cy
-    r01 = cz * sy * sx - sz * cx
-    r02 = cz * sy * cx + sz * sx
-    r10 = sz * cy
-    r11 = sz * sy * sx + cz * cx
-    r12 = sz * sy * cx - cz * sx
-    r20 = -sy
-    r21 = cy * sx
-    r22 = cy * cx
-    row0 = jnp.stack([r00, r01, r02], axis=-1)
-    row1 = jnp.stack([r10, r11, r12], axis=-1)
-    row2 = jnp.stack([r20, r21, r22], axis=-1)
+    """Euler angles (radians) -> rotation matrix, matching the
+    reference's euler2mat_batch EXACTLY (rot_reps.py:365-383): rotation
+    order XZ'Y'' intrinsic — R = Rx(e0) @ Rz(e2) @ Ry(e1).  Note the
+    unusual channel order: e0 about X, e2 about Z, e1 about Y."""
+    c1, s1 = jnp.cos(euler[..., 0]), jnp.sin(euler[..., 0])  # X
+    c2, s2 = jnp.cos(euler[..., 2]), jnp.sin(euler[..., 2])  # Z
+    c3, s3 = jnp.cos(euler[..., 1]), jnp.sin(euler[..., 1])  # Y
+    row0 = jnp.stack([c2 * c3, -s2, c2 * s3], axis=-1)
+    row1 = jnp.stack([c1 * s2 * c3 + s1 * s3, c1 * c2,
+                      c1 * s2 * s3 - s1 * c3], axis=-1)
+    row2 = jnp.stack([s1 * s2 * c3 - c1 * s3, s1 * c2,
+                      s1 * s2 * s3 + c1 * c3], axis=-1)
     return jnp.stack([row0, row1, row2], axis=-2)
 
 

@@ -18,7 +18,10 @@ def _pairwise_sqdist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """(..., N, 3) x (..., M, 3) -> (..., N, M) squared distances."""
     a2 = jnp.sum(a * a, axis=-1)[..., :, None]
     b2 = jnp.sum(b * b, axis=-1)[..., None, :]
-    ab = jnp.einsum("...nd,...md->...nm", a, b)
+    # highest precision: the |a|^2+|b|^2-2ab form cancels, and the TPU
+    # default matmul is bf16 — the rounding error would exceed true
+    # nearest-neighbor distances on meter-scale point sets
+    ab = jnp.einsum("...nd,...md->...nm", a, b, precision="highest")
     return jnp.maximum(a2 + b2 - 2.0 * ab, 0.0)
 
 

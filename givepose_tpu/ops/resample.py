@@ -203,7 +203,14 @@ def crop_coord_2d_np(center, scale, out_res: int, im_w: int,
     ny = (sy - (im_h - 1) / 2) / ((im_h - 1) / 2)
     xx = np.broadcast_to(nx[None, :], (out_res, out_res))
     yy = np.broadcast_to(ny[:, None], (out_res, out_res))
-    return np.stack([xx, yy], axis=-1).astype(np.float32)
+    # cv2.warpAffine zero border (reference :285-287): an output cell
+    # whose NEAREST source pixel falls outside the image gets (0,0),
+    # not the extrapolated grid value — boundary crops (pad 1.5x) hit
+    # this on most border objects
+    valid = ((sx >= 0) & (sx <= im_w - 1))[None, :] \
+        & ((sy >= 0) & (sy <= im_h - 1))[:, None]
+    out = np.stack([xx, yy], axis=-1).astype(np.float32)
+    return out * valid[:, :, None].astype(np.float32)
 
 
 def get_2d_coord_grid(width: int, height: int, norm: bool = True,

@@ -157,6 +157,38 @@ class TestPreprocess:
         assert np.abs(got - ref).max() < 2.0 / 480  # tie-break tolerance
 
 
+    def test_coord2d_zero_border_matches_cv2(self):
+        """A crop extending past the image must zero the out-of-image
+        coord cells exactly like the reference's cv2.warpAffine
+        BORDER_CONSTANT 0 (load_data_nocs.py:285-287) — not extrapolate
+        the grid (pad 1.5x puts border objects in this regime)."""
+        import cv2
+        from givepose_tpu.data.preprocess import crop_coord_2d
+        from givepose_tpu.ops import get_2d_coord_grid
+        from givepose_tpu.ops.resample import crop_coord_2d_np
+
+        im_w, im_h, out = 64, 48, 16
+        center, scale = (4.0, 44.0), 40.0     # hangs off two edges
+        grid = np.asarray(get_2d_coord_grid(im_w, im_h)
+                          ).transpose(1, 2, 0)
+        a = out / scale
+        m = np.array([[a, 0, out / 2 - a * center[0]],
+                      [0, a, out / 2 - a * center[1]]], np.float32)
+        ref = cv2.warpAffine(grid, m, (out, out),
+                             flags=cv2.INTER_NEAREST)
+        got_np = crop_coord_2d_np(center, scale, out, im_w, im_h)
+        got_dev = np.asarray(crop_coord_2d(
+            jnp.asarray([center], jnp.float32),
+            jnp.asarray([scale], jnp.float32), out, im_w, im_h))[0]
+        assert (ref == 0).all(axis=-1).sum() > 10  # border cells exist
+        assert np.abs(got_np - ref).max() < 2.0 / 48
+        assert np.abs(got_dev - ref).max() < 2.0 / 48
+        # the zeroed cells are exactly zero in both
+        zero = (ref == 0).all(axis=-1)
+        assert (got_np[zero] == 0).all()
+        assert (got_dev[zero] == 0).all()
+
+
 class TestAugment:
     def test_color_augment_bounds(self, rng):
         img = jnp.asarray(rng.uniform(0, 255, (2, 32, 32, 3)), jnp.float32)

@@ -38,7 +38,9 @@ def result(gt_cls, gt_rts, gt_scales, pr_cls, pr_rts, pr_scales,
                         else np.asarray(scores)),
         "pred_RTs": np.asarray(pr_rts),
         "pred_scales": np.asarray(pr_scales),
-        "pred_bboxes": np.zeros((len(pr_cls), 4)),
+        # non-zero boxes: an all-zero pred_bboxes row is PADDING by the
+        # reference convention and is trimmed before matching
+        "pred_bboxes": np.ones((len(pr_cls), 4)),
     }
 
 
@@ -297,3 +299,28 @@ class TestRansacPnP:
         out = ransac_pnp(np.zeros((4, 4, 3)), np.zeros((4, 4)),
                          np.zeros((4, 4)), np.zeros((4, 4)), K)
         assert out is None
+
+
+class TestZeroPaddingTrim:
+    def test_padded_rows_are_trimmed_like_reference(self, rng):
+        """Zero-padded detection rows (all-zero pred_bboxes) must be
+        dropped before matching (reference eval_utils_cass.py:277-279),
+        so a padded result scores identically to its trimmed version."""
+        R = ScipyRot.random(
+            random_state=np.random.RandomState(3)).as_matrix()
+        rt = make_rt(R, trans=[0.1, 0.0, 1.0])
+        sc = rng.uniform(0.05, 0.3, (1, 3))
+        clean = result([3], [rt], sc, [3], [rt], sc)
+
+        padded = result([3], [rt], sc, [3, 3, 3],
+                        np.stack([rt, np.eye(4), np.eye(4)]),
+                        np.vstack([sc, np.zeros((2, 3))]),
+                        scores=[1.0, 0.9, 0.8])
+        padded["pred_bboxes"] = np.vstack([np.ones((1, 4)),
+                                           np.zeros((2, 4))])
+
+        iou_a, pose_a = compute_degree_cm_map([clean])
+        iou_b, pose_b = compute_degree_cm_map([padded])
+        np.testing.assert_allclose(np.asarray(iou_b), np.asarray(iou_a))
+        np.testing.assert_allclose(np.asarray(pose_b),
+                                   np.asarray(pose_a))

@@ -82,7 +82,8 @@ class TestRescore:
             "pred_scores": np.array([0.9]),
             "pred_RTs": np.array([rt]),
             "pred_scales": np.ones((1, 3)) * 0.2,
-            "pred_bboxes": np.zeros((1, 4)),
+            # non-zero: an all-zero box row is padding and is trimmed
+            "pred_bboxes": np.ones((1, 4)),
         }]
         pkl = tmp_path / "pred_result.pkl"
         with open(pkl, "wb") as f:

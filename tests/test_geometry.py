@@ -159,6 +159,16 @@ class TestAxAngleEuler:
         R = np.asarray(geo.euler_to_mat(e))
         np.testing.assert_allclose(np.linalg.det(R), 1.0, atol=1e-5)
 
+    def test_euler_matches_reference_composition(self, rng):
+        """Reference euler2mat_batch (rot_reps.py:365-383) is XZ'Y''
+        intrinsic with channels (e0->X, e2->Z, e1->Y):
+        R = Rx(e0) @ Rz(e2) @ Ry(e1)."""
+        e = rng.uniform(-np.pi, np.pi, size=(16, 3))
+        ours = np.asarray(geo.euler_to_mat(jnp.asarray(e)))
+        ref = ScipyRot.from_euler(
+            "XZY", np.stack([e[:, 0], e[:, 2], e[:, 1]], 1)).as_matrix()
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+
 
 class TestAlloEgo:
     def _ref_allo_to_ego(self, t, R_allo):
@@ -426,3 +436,36 @@ class TestBopErrors:
         errs2 = vsd(R, t + [0.5, 0.5, 0], R, t, K, pts, depth_test,
                     im_h=128, im_w=128, taus=(0.02,))
         assert errs2[0] > 0.9
+
+    def test_mssd_sym_translation(self, rng):
+        """BOP symmetry transforms carry translations: t_gt_sym =
+        R_gt @ t_s + t_gt (pose_error.py:146-148).  An est pose equal to
+        the gt pose composed with (S, t_s) must score zero."""
+        from givepose_tpu.geometry.bop_errors import mssd, mspd
+        pts = rng.uniform(-0.1, 0.1, (150, 3))
+        R = ScipyRot.from_euler("xyz", [0.4, -0.2, 0.1]).as_matrix()
+        t = np.array([0.05, -0.02, 1.0])
+        S = ScipyRot.from_euler("z", 180, degrees=True).as_matrix()
+        ts = np.array([0.0, 0.0, 0.03])
+        R_est = R @ S
+        t_est = R @ ts + t
+        syms = np.stack([np.eye(3), S])
+        sym_ts = np.stack([np.zeros(3), ts])
+        assert mssd(R_est, t_est, R, t, pts, syms, sym_ts) < 1e-12
+        # without the translation the same est pose scores > 0
+        assert mssd(R_est, t_est, R, t, pts, syms) > 0.01
+        K = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]])
+        assert mspd(R_est, t_est, R, t, K, pts, syms, sym_ts) < 1e-8
+
+    def test_vsd_uses_distance_images(self):
+        """VSD compares ray distances, not raw z (BOP
+        misc.depth_im_to_dist_im_fast): at an off-center pixel the ray
+        factor sqrt(((x-cx)/fx)^2+((y-cy)/fy)^2+1) scales z."""
+        from givepose_tpu.geometry.bop_errors import _depth_to_dist
+        K = np.array([[100.0, 0, 8], [0, 100.0, 8], [0, 0, 1]])
+        depth = np.zeros((16, 16))
+        depth[0, 0] = 2.0
+        dist = _depth_to_dist(depth, K)
+        factor = np.sqrt((8 / 100) ** 2 + (8 / 100) ** 2 + 1.0)
+        np.testing.assert_allclose(dist[0, 0], 2.0 * factor, rtol=1e-12)
+        assert dist[5, 5] == 0.0
